@@ -1,0 +1,124 @@
+"""Display set -> dense RGBA bitmap, and the derived merge metadata.
+
+Replicates the reference decode chain (studied, not copied):
+  - RLE run expansion + transparent-pixel skip:
+    /root/reference/src/PgsToSrt/BluRaySup/BluRaySupParserExtensions.cs:43-134
+    (PutPixel writes only when alpha > 0, :149-155)
+  - +50px canvas padding with a 25px offset: same file :136-140
+  - multi-object union-rect compositing: :12-34. NOTE the reference
+    passes opacity 0 to DrawImage at :30, which makes the merged canvas
+    fully transparent — an apparent upstream bug. We composite at full
+    opacity (source-over, overwrite where source alpha > 0), which is
+    the clearly intended semantics and what SURVEY.md §2 M11 specifies.
+  - non-transparent extent metrics:
+    /root/reference/src/PgsToSrt/BluRaySup/ImageExtensions.cs:36-70
+  - pixel equality: ImageExtensions.cs:72-92 (we compare via dims +
+    SHA-256 of the pixel buffer so equality can be evaluated after a
+    shuffle without shipping dense bitmaps).
+
+Vectorization: runs are expanded with numpy scatter (np.repeat-style),
+never per-pixel Python loops over the image.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .format import build_palette_lut, rle_decode_runs
+from .parse import DisplaySet
+
+PAD = 50          # canvas grows by +50 in each dimension (reference :136)
+PAD_OFF = 25      # bitmap drawn at (25, 25) (reference :138)
+
+
+def _pad_canvas(img: np.ndarray) -> np.ndarray:
+    """+50px padding with the bitmap at (25, 25) (reference :136-140)."""
+    h, w = img.shape[:2]
+    canvas = np.zeros((h + PAD, w + PAD, 4), dtype=np.uint8)
+    canvas[PAD_OFF:PAD_OFF + h, PAD_OFF:PAD_OFF + w] = img
+    return canvas
+
+
+def decode_object_raw(rle: bytes, width: int, height: int,
+                      lut: np.ndarray) -> np.ndarray:
+    """Decode one reassembled ODS buffer into an (H, W, 4) uint8 RGBA
+    array, replicating DecodeImage's RLE walk (:55-134): zero-initialized
+    image, runs written only where palette alpha > 0."""
+    if width <= 0 or height <= 0 or len(rle) == 0:
+        return np.zeros((1, 1, 4), dtype=np.uint8)
+    flat = np.zeros((width * height, 4), dtype=np.uint8)
+    for pos, idx, ln in rle_decode_runs(rle, width):
+        color = lut[idx]
+        if color[3] > 0:  # PutPixel skips fully transparent colors (:149-155)
+            flat[pos:pos + ln] = color
+    return flat.reshape(height, width, 4)
+
+
+def decode_display_set(ds: DisplaySet) -> np.ndarray:
+    """GetRgba32 equivalent (BluRaySupParserExtensions.cs:12-34).
+
+    Deviation (documented in the module docstring): the reference's
+    multi-object path draws each *padded* decode into an *unpadded*
+    union-rect canvas with opacity 0 — a double bug that yields a fully
+    transparent canvas. We composite the unpadded decodes at
+    (origin - union.origin) with source-over overwrite, then apply the
+    +50 padding once, so the multi-object canvas is consistent with the
+    single-object one."""
+    lut = build_palette_lut(ds.palette_buffers)
+    if len(ds.objects) == 1:
+        f0 = ds.bitmap_objects[0][0]
+        return _pad_canvas(decode_object_raw(f0.data, f0.width, f0.height, lut))
+    # multi-object: union of (origin, first-fragment size) rects (:17-22)
+    rects = []
+    for i, obj in enumerate(ds.objects):
+        f0 = ds.bitmap_objects[i][0]
+        rects.append((obj.x, obj.y, f0.width, f0.height))
+    x0 = min(r[0] for r in rects)
+    y0 = min(r[1] for r in rects)
+    x1 = max(r[0] + r[2] for r in rects)
+    y1 = max(r[1] + r[3] for r in rects)
+    canvas = np.zeros((y1 - y0, x1 - x0, 4), dtype=np.uint8)
+    for i, obj in enumerate(ds.objects):
+        f0 = ds.bitmap_objects[i][0]
+        sub = decode_object_raw(f0.data, f0.width, f0.height, lut)
+        ox, oy = obj.x - x0, obj.y - y0
+        src = sub[:canvas.shape[0] - oy, :canvas.shape[1] - ox]
+        dst = canvas[oy:oy + src.shape[0], ox:ox + src.shape[1]]
+        mask = src[:, :, 3] > 0
+        dst[mask] = src[mask]
+    return _pad_canvas(canvas)
+
+
+def non_transparent_extents(img: np.ndarray) -> tuple[int, int]:
+    """(height, width) of the image minus fully-transparent leading and
+    trailing rows/columns (ImageExtensions.cs:36-70). Note the reference
+    counts *trailing* transparent lines via a run that resets on any
+    opaque line — equivalent to trimming leading+trailing only."""
+    opaque = img[:, :, 3] > 0
+    rows = np.flatnonzero(opaque.any(axis=1))
+    cols = np.flatnonzero(opaque.any(axis=0))
+    nt_h = 0 if rows.size == 0 else int(rows[-1] - rows[0] + 1)
+    nt_w = 0 if cols.size == 0 else int(cols[-1] - cols[0] + 1)
+    return nt_h, nt_w
+
+
+@dataclass(frozen=True)
+class DecodeMeta:
+    """Everything the near-dup merge heuristics need about a decoded cue
+    (QualifiesForMerge, BluRaySupParserImageSharp.cs:533-558) so they can
+    run after a shuffle without the dense bitmap."""
+    dec_h: int
+    dec_w: int
+    nt_h: int
+    nt_w: int
+    pixel_sha: bytes  # SHA-256 of the raw RGBA buffer (pixel-equality proxy)
+
+
+def decode_meta_of(img: np.ndarray) -> DecodeMeta:
+    nt_h, nt_w = non_transparent_extents(img)
+    return DecodeMeta(dec_h=img.shape[0], dec_w=img.shape[1], nt_h=nt_h,
+                      nt_w=nt_w,
+                      pixel_sha=hashlib.sha256(np.ascontiguousarray(img).tobytes()).digest())

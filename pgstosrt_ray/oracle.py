@@ -1,0 +1,87 @@
+"""Single-threaded reference pipeline ("the oracle", SURVEY.md §5.2).
+
+A direct, simple reimplementation of the reference's end-to-end path
+(E1 in SURVEY §3: parse -> fill -> filter -> reassemble -> merge ->
+decode+OCR -> SRT) with NO Ray, generalized to multiple rows per url.
+Golden outputs for the fixture corpus come from here; the Ray pipeline
+must be byte-identical per url to this, under any input row order and
+any parallelism (the BASELINE.json north_rule invariant).
+
+Generalized multi-row semantics (defined here, mirrored by the Ray
+assembly stage):
+  1. rows of one url are ordered by (warc_ts, sha256(html)) — an
+     order-independent deterministic key; rows with identical
+     (warc_ts, sha256(html)) are deduplicated (keep one);
+  2. each row's payload parses independently (self-contained state
+     machine, parse.py);
+  3. the concatenated cue list gets the reference's list passes in the
+     reference's order: end-time fill -> empty filter -> fragment
+     reassembly -> near-dup merge (merge.py);
+  4. cues are numbered 1..n in list order, times convert ticks->ms, text
+     is OCR of the decoded composition, trimmed
+     (/root/reference/src/PgsToSrt/PgsOcr.cs:88-94,122);
+  5. the SRT document serializes per srt.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .decode import DecodeMeta, decode_display_set, decode_meta_of
+from .glyph import ocr_bitmap
+from .merge import (cue_view_of, end_time_fill, merge_cue_runs,
+                    reassemble_fragments)
+from .parse import DisplaySet, parse_payload
+from .srt import serialize_srt, ticks_to_ms
+
+
+def row_sort_key(warc_ts: int, html: bytes) -> tuple[int, bytes]:
+    """Deterministic, order-independent ordering of a url's rows."""
+    return (warc_ts, hashlib.sha256(html).digest())
+
+
+def prepare_url_cues(rows: list[tuple[int, bytes]]) -> list[DisplaySet]:
+    """Steps 1-3 above: rows (warc_ts, html) -> merged, filled, filtered,
+    reassembled cue list for one url."""
+    keyed = {}
+    for warc_ts, html in rows:
+        keyed[row_sort_key(warc_ts, html)] = html
+    cues: list[DisplaySet] = []
+    for key in sorted(keyed):
+        cues.extend(parse_payload(keyed[key]))
+    end_time_fill(cues)
+    cues = [c for c in cues if len(c.objects) > 0]
+    for c in cues:
+        reassemble_fragments(c)
+    views = [cue_view_of(c) for c in cues]
+    meta_cache: dict[int, DecodeMeta] = {}
+
+    def get_meta(i: int) -> DecodeMeta:
+        if i not in meta_cache:
+            meta_cache[i] = decode_meta_of(decode_display_set(cues[i]))
+        return meta_cache[i]
+
+    keep = merge_cue_runs(views, get_meta)
+    survivors = []
+    for i in keep:
+        c = cues[i]
+        c.start_ticks = views[i].start_ticks
+        c.end_ticks = views[i].end_ticks
+        survivors.append(c)
+    return survivors
+
+
+def extract_url(rows: list[tuple[int, bytes]]) -> tuple[str, int]:
+    """Full oracle: rows of one url -> (srt_text, n_cues)."""
+    cues = prepare_url_cues(rows)
+    triples = []
+    for c in cues:
+        text = ocr_bitmap(decode_display_set(c))
+        triples.append((ticks_to_ms(c.start_ticks), ticks_to_ms(c.end_ticks),
+                        text.strip()))
+    return serialize_srt(triples), len(triples)
+
+
+def extract_corpus(urls: dict[str, list[tuple[int, bytes]]]) -> dict[str, tuple[str, int]]:
+    """Oracle over a whole corpus: url -> (srt_text, n_cues)."""
+    return {url: extract_url(rows) for url, rows in urls.items()}

@@ -1,0 +1,21 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """ONE Ray session for the whole pytest run (task instructions)."""
+    import ray
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus():
+    """(pages, golden) pyarrow tables, deterministic."""
+    from pgstosrt_ray.fixtures import build_tiny
+    return build_tiny()
