@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported; no
+ray.init()/ray.shutdown() here or in anything this calls.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship extraction pipeline (SURVEY.md §3) over the
+  deterministic fixture corpus sized for sf0.001 smoke.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data additions; each takes sf_dir.
+- ``oracle_sql()``: DuckDB equivalents for the SQL-expressible ones
+  (pipeline/signature/approximate ops are rows-only by design).
 """
 
 from __future__ import annotations
@@ -18,27 +16,107 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# corpus sizing per sf dir (deterministic, cached under /tmp)
+_CORPUS_FOR_SF = {
+    "sf0.001": ("t1", 60),
+    "sf0.01": ("t2", 300),
+    "sf0.1": ("bench", 1500),
+}
+
+
+def _corpus_for(sf_dir: str) -> str:
+    from pgstosrt_ray.sources.pages import materialize_corpus
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    name, n_urls = _CORPUS_FOR_SF.get(tail, ("t1", 60))
+    return materialize_corpus(name, n_urls, seed=42)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver checks rows>=0."""
+    from pgstosrt_ray.pipelines.extract import extract_corpus_docs
+    return extract_corpus_docs(_corpus_for("/root/testdata/sf0.001"))
+
+
+def _extract_docs(sf_dir: str):
+    from pgstosrt_ray.pipelines.extract import extract_corpus_docs
+    return extract_corpus_docs(_corpus_for(sf_dir))
+
+
+def _extract_docs_nomerge(sf_dir: str):
+    from pgstosrt_ray.config import PipelineConfig
+    from pgstosrt_ray.pipelines.extract import extract_corpus_docs
+    return extract_corpus_docs(_corpus_for(sf_dir),
+                               PipelineConfig(skip_merge=True))
+
+
+def _demux_cues(sf_dir: str):
+    from pgstosrt_ray.sources.pages import read_pages
+    from pgstosrt_ray.stages.demux import demux_batch
+    ds = read_pages(_corpus_for(sf_dir))
+    cues = ds.map_batches(demux_batch, batch_format="pyarrow", batch_size=32)
+    # driver-friendly projection (no nested binary columns)
+    return cues.select_columns(["url", "seq", "comp_num", "start_ticks",
+                                "end_ticks", "width", "height", "n_objects",
+                                "forced", "palette_count"])
+
+
+def _media_features(sf_dir: str):
+    from pgstosrt_ray.pipelines.multimodal import media_features
+    from pgstosrt_ray.sources.pages import read_pages
+    return media_features(read_pages(_corpus_for(sf_dir)))
+
+
+def _lang_id(sf_dir: str):
+    import pandas as pd
+    import ray.data
+    from pgstosrt_ray.functions.text import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def li(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "lang_pred": lang_id(df["text"])})
+
+    return ds.map_batches(li, batch_format="pandas")
+
+
+def _quality_score(sf_dir: str):
+    import pandas as pd
+    import ray.data
+    from pgstosrt_ray.functions.text import quality_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def qs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "quality": quality_score(df["text"])})
+
+    return ds.map_batches(qs, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from pgstosrt_ray.pipelines import dedupe, relational, similarity
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.QUERIES)
+    out.update(dedupe.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update({
+        "extract_docs": _extract_docs,
+        "extract_docs_nomerge": _extract_docs_nomerge,
+        "demux_cues": _demux_cues,
+        "media_features": _media_features,
+        "lang_id": _lang_id,
+        "quality_score": _quality_score,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pgstosrt_ray.pipelines import dedupe, relational, similarity
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    out.update(dedupe.ORACLE_SQL)
+    out.update(similarity.ORACLE_SQL)
+    return out

@@ -1,0 +1,306 @@
+"""Relational operator conformance suite (SURVEY.md §2 -> driver
+``queries()`` / ``oracle_sql()``).
+
+Each entry re-expresses one reference operator class as an idiomatic
+Ray Data pipeline over the driver's TPC-H-ish tables, with a DuckDB
+oracle. Column names are identical on both sides (the driver hashes
+values under sorted column names). Float accumulations are avoided in
+oracle-checked queries: money sums go through integer cents
+(CAST(ROUND(x*100) AS BIGINT)) so results are order-independent and
+bit-exact across engines.
+
+SURVEY mapping: lang_filter=S6, key_select=S7/R3, topk_sort=R1,
+groupby_agg=A2/A3 (partial pre-aggregation pattern), broadcast_join=J2,
+hash_join=J1, window_fill=M8 (lead/forward-fill), distinct_pairs=D1,
+exact_dedup=D1, min_per_group=A1, count_rows=A5, token/fingerprint/
+quality = text-analysis additions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, **kw)
+
+
+def _cents(col):
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+# --- S6: filter by language (MkvUtilities.cs:76-96 analogue) -------------
+def q_lang_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"],
+               filter=pc.field("lang") == "en")
+    return ds
+
+SQL_LANG_FILTER = ("SELECT doc_id, lang, n_chars FROM documents "
+                   "WHERE lang = 'en'")
+
+
+# --- S7/R3: key select + first-match limit (PgsParser.cs:40) -------------
+def q_key_select(sf_dir: str):
+    return _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+                 filter=pc.field("o_orderkey") == 42)
+
+SQL_KEY_SELECT = ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+                  "WHERE o_orderkey = 42")
+
+
+# --- R1: deterministic re-sort + top-k (PgsOcr.cs:110 analogue) ----------
+def q_topk_sort(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                   descending=[True, False, False]).limit(100)
+
+SQL_TOPK_SORT = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100")
+
+
+# --- A2/A3: grouped aggregate with partial pre-aggregation (SURVEY §4) ---
+def q_groupby_agg(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("price_cents", _cents(t.column("l_extendedprice")))
+        t = t.append_column("qty", pc.cast(t.column("l_quantity"), pa.int64()))
+        t = t.append_column("one", pa.array([1] * t.num_rows, pa.int64()))
+        return pa.TableGroupBy(
+            t.select(["l_returnflag", "l_linestatus", "qty",
+                      "price_cents", "one"]),
+            ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("one", "sum")]
+        ).rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                          "sum_price_cents", "n_rows"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("n_rows", alias_name="n_rows"))
+    return out
+
+SQL_GROUPBY_AGG = (
+    "SELECT l_returnflag, l_linestatus, "
+    "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+    "COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+# --- J2: broadcast small-side join (track-catalog analogue) --------------
+def q_broadcast_join(sf_dir: str):
+    import ray
+    nation = _read(sf_dir, "nation").to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def join(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup[k] for k in t.column("c_nationkey").to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+SQL_BROADCAST_JOIN = (
+    "SELECT c_custkey, c_nationkey, n_name "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey")
+
+
+# --- J1: large-side hash join + aggregate ---------------------------------
+def q_hash_join(sf_dir: str):
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "price_cents": _cents(t.column("l_extendedprice"))})
+
+    li = li.map_batches(li_cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined.groupby("o_orderstatus").aggregate(
+        Sum("price_cents", alias_name="sum_price_cents"))
+
+SQL_HASH_JOIN = (
+    "SELECT o_orderstatus, "
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderstatus")
+
+
+# --- M8: ordered forward-fill / lead within key groups -------------------
+def q_window_fill(sf_dir: str):
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["next_ts"] = g["ts"].shift(-1)
+        return g
+
+    return ds.groupby("user_id").map_groups(fill, batch_format="pandas")
+
+SQL_WINDOW_FILL = (
+    "SELECT event_id, user_id, ts, "
+    "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts "
+    "FROM events")
+
+
+# --- D1: distinct key pairs ----------------------------------------------
+def q_distinct_pairs(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    from ray.data.aggregate import Count
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="_c"))
+    return out.select_columns(["l_returnflag", "l_linestatus"])
+
+SQL_DISTINCT_PAIRS = ("SELECT DISTINCT l_returnflag, l_linestatus "
+                      "FROM lineitem")
+
+
+# --- A1: min/max within group (GetPosition analogue) ---------------------
+def q_min_per_group(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return ds.groupby("o_custkey").aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Count(alias_name="n_orders"))
+
+SQL_MIN_PER_GROUP = (
+    "SELECT o_custkey, MIN(o_totalprice) AS min_price, "
+    "MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders "
+    "FROM orders GROUP BY o_custkey")
+
+
+# --- A5: count ------------------------------------------------------------
+def q_count_rows(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    return pa.table({"n": pa.array([ds.count()], pa.int64())})
+
+SQL_COUNT_ROWS = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+# --- text analysis: token counts (oracle-checked) ------------------------
+def q_token_count(sf_dir: str):
+    import pandas as pd
+    from ..functions.text import token_count
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tokens": token_count(df["text"]),
+                             "n_chars_calc": df["text"].str.len()
+                            .astype("int64")})
+
+    return ds.map_batches(counts, batch_format="pandas")
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+    "length(text) AS n_chars_calc FROM documents")
+
+
+# --- text analysis: md5 fingerprint (oracle-checked) ---------------------
+def q_fingerprint(sf_dir: str):
+    import pandas as pd
+    from ..functions.text import md5_fingerprint
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fp": md5_fingerprint(df["text"])})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# --- text analysis: integer quality counts (oracle-checked) --------------
+def q_quality_counts(sf_dir: str):
+    import pandas as pd
+    from ..functions.text import quality_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def qc(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_counts(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].values)
+        return out
+
+    return ds.map_batches(qc, batch_format="pandas")
+
+SQL_QUALITY_COUNTS = (
+    "SELECT doc_id, length(text) AS n_chars, "
+    "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+    "length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
+    "length(regexp_extract_all(text, '[0-9]')) AS n_digit, "
+    "length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+    "length(regexp_extract_all(lower(text), "
+    "'\\b(?:a|and|in|is|it|of|that|the|to|you)\\b')) AS n_stopwords "
+    "FROM documents")
+
+
+# --- exact dedup: hash-partitioned first-per-group (oracle-checked) ------
+def q_exact_dedup(sf_dir: str):
+    import pandas as pd
+    from ray.data.aggregate import Count, Min
+    from ..functions.text import md5_fingerprint
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fp": md5_fingerprint(df["text"])})
+
+    return (ds.map_batches(fp, batch_format="pandas")
+            .groupby("fp")
+            .aggregate(Min("doc_id", alias_name="keeper_id"),
+                       Count(alias_name="n_copies")))
+
+SQL_EXACT_DEDUP = (
+    "SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, "
+    "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)")
+
+
+QUERIES = {
+    "lang_filter": q_lang_filter,
+    "key_select": q_key_select,
+    "topk_sort": q_topk_sort,
+    "groupby_agg": q_groupby_agg,
+    "broadcast_join": q_broadcast_join,
+    "hash_join": q_hash_join,
+    "window_fill": q_window_fill,
+    "distinct_pairs": q_distinct_pairs,
+    "min_per_group": q_min_per_group,
+    "count_rows": q_count_rows,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "quality_counts": q_quality_counts,
+    "exact_dedup": q_exact_dedup,
+}
+
+ORACLE_SQL = {
+    "lang_filter": SQL_LANG_FILTER,
+    "key_select": SQL_KEY_SELECT,
+    "topk_sort": SQL_TOPK_SORT,
+    "groupby_agg": SQL_GROUPBY_AGG,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "hash_join": SQL_HASH_JOIN,
+    "window_fill": SQL_WINDOW_FILL,
+    "distinct_pairs": SQL_DISTINCT_PAIRS,
+    "min_per_group": SQL_MIN_PER_GROUP,
+    "count_rows": SQL_COUNT_ROWS,
+    "token_count": SQL_TOKEN_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+    "quality_counts": SQL_QUALITY_COUNTS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+}

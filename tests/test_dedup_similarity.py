@@ -1,0 +1,142 @@
+"""Dedup + similarity + text-analysis operator tests."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pgstosrt_ray.functions import dedup as D
+from pgstosrt_ray.functions import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestKernels:
+    def test_shingle_hashes_deterministic(self):
+        a = D.char_shingle_hashes("hello world hello world")
+        b = D.char_shingle_hashes("hello world hello world")
+        assert np.array_equal(a, b)
+        assert a.size > 0
+
+    def test_minhash_similarity_tracks_jaccard(self):
+        mh = D.MinHasher(num_perm=128)
+        t1 = "the quick brown fox jumps over the lazy dog " * 5
+        t2 = "the quick brown fox jumps over the lazy cat " * 5
+        t3 = "completely different content with other words " * 5
+        s1 = mh.signature(D.char_shingle_hashes(t1))
+        s2 = mh.signature(D.char_shingle_hashes(t2))
+        s3 = mh.signature(D.char_shingle_hashes(t3))
+        near = D.MinHasher.estimate_jaccard(s1, s2)
+        far = D.MinHasher.estimate_jaccard(s1, s3)
+        assert near > 0.5 > far
+        true_j = D.jaccard(D.char_shingle_hashes(t1), D.char_shingle_hashes(t2))
+        assert abs(near - true_j) < 0.15
+
+    def test_identical_docs_collide_in_every_band(self):
+        mh = D.MinHasher()
+        s = mh.signature(D.char_shingle_hashes("same text " * 20))
+        assert D.lsh_band_keys(s) == D.lsh_band_keys(s.copy())
+
+    def test_simhash_near_for_similar(self):
+        h1 = D.simhash64(D.word_ngram_hashes("a b c d e f g h i j", 1))
+        h2 = D.simhash64(D.word_ngram_hashes("a b c d e f g h i k", 1))
+        h3 = D.simhash64(D.word_ngram_hashes("z y x w v u t s r q", 1))
+        assert D.hamming64(h1, h2) < D.hamming64(h1, h3)
+
+    def test_union_find(self):
+        labels = D.union_find_clusters([(1, 2), (2, 3), (5, 6)],
+                                       [1, 2, 3, 4, 5, 6])
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[4] == 4
+        assert labels[5] == labels[6] == 5
+
+
+class TestTextKernels:
+    def test_token_count_matches_duckdb(self):
+        s = pd.Series(["a  b c", " x ", "", "one"])
+        got = T.token_count(s).tolist()
+        exp = [duckdb.sql(
+            f"select length(regexp_extract_all({t!r}, '\\S+'))").fetchone()[0]
+            for t in s]
+        assert got == exp
+
+    def test_md5_matches_duckdb(self):
+        s = pd.Series(["abc", "", "héllo"])
+        got = T.md5_fingerprint(s).tolist()
+        exp = [duckdb.sql(f"select md5({t!r})").fetchone()[0] for t in s]
+        assert got == exp
+
+    def test_lang_id(self):
+        s = pd.Series(["the cat and the dog in the house",
+                       "el perro y el gato en la casa",
+                       "der Hund und die Katze ist von den",
+                       "这是一个中文句子这是一个中文句子",
+                       "zzz qqq xxx"])
+        assert T.lang_id(s).tolist() == ["en", "es", "de", "zh", "und"]
+
+    def test_quality_score_range(self):
+        s = pd.Series(["the quick brown fox jumps over the lazy dog " * 3,
+                       "!!!???...", ""])
+        q = T.quality_score(s)
+        assert ((q >= 0) & (q <= 1)).all()
+        assert q.iloc[0] > q.iloc[1]
+
+    def test_rolling_fingerprint_deterministic(self):
+        s = pd.Series(["some document text that is long enough", "short"])
+        assert T.rolling_fingerprint(s).tolist() == \
+            T.rolling_fingerprint(s).tolist()
+
+
+class TestPipelines:
+    def test_minhash_finds_planted_dupes(self, ray_session, tmp_path):
+        # plant near-duplicates in a small documents table
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+        texts = [base, base.replace("dog", "cat"),
+                 "completely unrelated text about ray data pipelines " * 8]
+        texts += [f"filler document number {i} with distinct words {i * 7} "
+                  * 10 for i in range(20)]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        d = tmp_path / "sf"
+        d.mkdir()
+        df.to_parquet(d / "documents.parquet")
+        from pgstosrt_ray.pipelines.dedupe import (minhash_candidate_pairs,
+                                                   minhash_dedup_clusters)
+        pairs = minhash_candidate_pairs(str(d)).to_pandas()
+        assert {(0, 1)} <= set(zip(pairs.doc_a, pairs.doc_b))
+        clusters = minhash_dedup_clusters(str(d)).to_pandas()
+        lab = dict(zip(clusters.doc_id, clusters.cluster_id))
+        assert lab[0] == lab[1]
+        assert lab[2] != lab[0]
+
+    def test_ann_brute_force_matches_duckdb(self, ray_session):
+        from pgstosrt_ray.pipelines import similarity
+        ours = similarity.brute_force_topk(SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_DIR}/embeddings.parquet'")
+        theirs = con.sql(similarity.ORACLE_SQL["ann_brute_force"]).df()
+        pd.testing.assert_frame_equal(
+            ours.reset_index(drop=True), theirs.reset_index(drop=True),
+            check_dtype=False)
+
+    def test_lsh_topk_recall(self, ray_session):
+        from pgstosrt_ray.pipelines import similarity
+        exact = similarity.brute_force_topk(SF_DIR).to_pandas()
+        approx = similarity.lsh_topk(SF_DIR).to_pandas()
+        recall = len(set(approx.vec_id) & set(exact.vec_id)) / len(exact)
+        assert recall >= 0.3  # uniform-random embeddings: recall ~ scan frac
+
+    def test_embedding_near_dup_symmetric_free(self, ray_session):
+        from pgstosrt_ray.pipelines.dedupe import embedding_near_dup_pairs
+        pairs = embedding_near_dup_pairs(SF_DIR).to_pandas()
+        assert (pairs.doc_a < pairs.doc_b).all()
+        assert pairs.cosine.ge(0.35).all()
+
+    def test_media_features_stub(self, ray_session):
+        from pgstosrt_ray.pipelines.multimodal import media_features
+        from pgstosrt_ray.sources.pages import materialize_corpus, read_pages
+        corpus = materialize_corpus("tiny", 30, seed=7)
+        out = media_features(read_pages(corpus)).to_pandas()
+        assert set(out.media_type) <= {"image", "video", "audio", "unknown"}
+        assert (out.feature.map(len) == 8).all()
+        assert out.n_bytes.gt(0).all()
