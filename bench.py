@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract + SURVEY §6).
+
+``python bench.py``            -> ONE JSON line: headline end-to-end
+                                  extraction seconds + per-query secs.
+``python bench.py --scaling``  -> two fresh-process runs at 8 and 32
+                                  CPUs on the SAME input; reports both
+                                  throughputs + scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32). This script OWNS its Ray session (init+shutdown).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_URLS = int(os.environ.get("PGSTOSRT_BENCH_URLS", "1500"))
+# the scaling run uses a larger corpus so parallel work dominates the
+# fixed per-run costs (actor-pool spin-up, read, shuffle barrier)
+SCALING_URLS = int(os.environ.get("PGSTOSRT_SCALING_URLS", "4000"))
+SCALING_MODE = os.environ.get("PGSTOSRT_SCALING", "") == "1"
+
+
+def _sf_of(path: str) -> float:
+    tail = path.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import logging
+
+    # corpus materialization is untimed (cached, one-time)
+    from pgstosrt_ray.sources.pages import materialize_corpus, read_pages
+    if SCALING_MODE:
+        corpus = materialize_corpus("scaling", SCALING_URLS, seed=42,
+                                    heavy=True)
+    else:
+        corpus = materialize_corpus("bench", BENCH_URLS, seed=42, heavy=True)
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from pgstosrt_ray.config import PipelineConfig
+    from pgstosrt_ray.pipelines.extract import extract_docs
+
+    # fixed pool size (prestarted): the autoscaler ramps too slowly to
+    # saturate within a run; reserve 2 CPUs for read/assemble stages
+    cfg = PipelineConfig(extract_concurrency=max(2, NUM_CPUS - 2))
+
+    # warm the page cache + Ray worker pool with one untimed pass
+    read_pages(corpus).count()
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    # headline: end-to-end extraction, fully consumed
+    n_docs_holder = {}
+
+    def headline():
+        ds = extract_docs(read_pages(corpus), cfg)
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        n_docs_holder["n"] = n
+
+    headline_sec = timed(headline)
+
+    queries: dict[str, float] = {}
+    if SCALING_MODE:
+        # scaling runs measure the headline pipeline only
+        n_docs = n_docs_holder["n"]
+        result = {
+            "metric": "end_to_end_extraction_sec", "value": headline_sec,
+            "unit": "sec", "queries": {}, "sf": _sf_of(SF_DIR),
+            "num_cpus": NUM_CPUS, "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / headline_sec, 2),
+        }
+        ray.shutdown()
+        return result
+    from pgstosrt_ray.pipelines import dedupe, relational, similarity
+
+    def consume(res):
+        import pyarrow as pa
+        import ray.data as rd
+        if isinstance(res, rd.Dataset):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        return res
+
+    queries["groupby_agg"] = timed(lambda: consume(
+        relational.q_groupby_agg(SF_DIR)))
+    queries["hash_join"] = timed(lambda: consume(
+        relational.q_hash_join(SF_DIR)))
+    queries["topk_sort"] = timed(lambda: consume(
+        relational.q_topk_sort(SF_DIR)))
+    queries["window_fill"] = timed(lambda: consume(
+        relational.q_window_fill(SF_DIR)))
+    queries["exact_dedup"] = timed(lambda: consume(
+        relational.q_exact_dedup(SF_DIR)))
+    queries["minhash_pairs"] = timed(lambda: consume(
+        dedupe.minhash_candidate_pairs(SF_DIR)))
+    queries["ann_brute_force"] = timed(lambda: consume(
+        similarity.brute_force_topk(SF_DIR)))
+
+    n_docs = n_docs_holder["n"]
+    result = {
+        "metric": "end_to_end_extraction_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 2) if headline_sec else 0,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two fresh interpreter runs at 8 and 32 CPUs on the same input
+    (sandbox stand-in for N vs 4N nodes, BASELINE.md scaling gate)."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PGSTOSRT_SCALING="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "sf": lo["sf"],
+        "pass_0_8": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -46,15 +46,42 @@ def decode_object_raw(rle: bytes, width: int, height: int,
                       lut: np.ndarray) -> np.ndarray:
     """Decode one reassembled ODS buffer into an (H, W, 4) uint8 RGBA
     array, replicating DecodeImage's RLE walk (:55-134): zero-initialized
-    image, runs written only where palette alpha > 0."""
+    image, runs written only where palette alpha > 0 (PutPixel :149-155).
+
+    Vectorized: the opcode walk yields (pos, idx, len) runs; pixels are
+    scattered with a numpy repeat-expansion (last-write-wins on the
+    forward-moving cursor, identical to the sequential loop), then
+    alpha-0 pixels are cleared — equivalent to PutPixel's skip because
+    unwritten pixels are zero and written-transparent pixels must end
+    up zero too."""
     if width <= 0 or height <= 0 or len(rle) == 0:
         return np.zeros((1, 1, 4), dtype=np.uint8)
-    flat = np.zeros((width * height, 4), dtype=np.uint8)
-    for pos, idx, ln in rle_decode_runs(rle, width):
-        color = lut[idx]
-        if color[3] > 0:  # PutPixel skips fully transparent colors (:149-155)
-            flat[pos:pos + ln] = color
-    return flat.reshape(height, width, 4)
+    runs = rle_decode_runs(rle, width)
+    n = width * height
+    idx_img = np.zeros(n, dtype=np.uint8)
+    if runs:
+        arr = np.array(runs, dtype=np.int64)
+        pos_arr, idx_arr, len_arr = arr[:, 0], arr[:, 1], arr[:, 2]
+        total = int(len_arr.sum())
+        ends = np.cumsum(len_arr)
+        within = np.arange(total) - np.repeat(ends - len_arr, len_arr)
+        positions = np.repeat(pos_arr, len_arr) + within
+        values = np.repeat(idx_arr, len_arr)
+        ok = positions < n  # overflow pixels would raise in C#; clamp-safe
+        positions, values = positions[ok], values[ok]
+        idx_img[positions] = values
+        if lut[0].any():
+            # palette entry 0 is normally transparent-black; if a stream
+            # redefines it, unwritten pixels must still stay clear
+            img = lut[idx_img]
+            written = np.zeros(n, dtype=bool)
+            written[positions] = True
+            img[~written] = 0
+            return img.reshape(height, width, 4)
+    # fast path: lut[0] is all-zero, so unwritten pixels come out zero,
+    # and alpha-0 LUT rows are provably all-zero (build_palette_lut
+    # clamps alpha<14 colors to black), matching PutPixel's skip
+    return lut[idx_img].reshape(height, width, 4)
 
 
 def decode_display_set(ds: DisplaySet) -> np.ndarray:

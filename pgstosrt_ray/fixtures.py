@@ -304,19 +304,24 @@ _WORDS = ("the quick brown fox jumps over lazy dog data stream ray arrow "
           "segment epoch window merge dedup extract web scale").split()
 
 
-def random_payload_rows(rng: random.Random, url_idx: int
-                        ) -> list[tuple[int, bytes]]:
-    """A seeded random url: 1-3 rows, 1-6 cues each, mixed features."""
+def random_payload_rows(rng: random.Random, url_idx: int,
+                        heavy: bool = False) -> list[tuple[int, bytes]]:
+    """A seeded random url: 1-3 rows, mixed features. ``heavy`` makes
+    bench-grade payloads (more cues, longer texts, larger glyph scales)
+    so per-row compute dominates scheduling overhead."""
     t0 = 1_600_000_000_000_000 + url_idx * 1_000_000
     n_rows = rng.choices([1, 2, 3], weights=[6, 3, 1])[0]
     rows = []
     tick_base = TICK
     for r in range(n_rows):
-        n_cues = rng.randint(1, 6)
+        n_cues = rng.randint(4, 12) if heavy else rng.randint(1, 6)
         specs: list[DsSpec] = []
         for c in range(n_cues):
-            text = " ".join(rng.choices(_WORDS, k=rng.randint(2, 8)))
-            scale = rng.choices([1, 1, 1, 2, 3], weights=[5, 5, 5, 2, 1])[0]
+            text = " ".join(rng.choices(
+                _WORDS, k=rng.randint(20, 60) if heavy else rng.randint(2, 8)))
+            scale = (rng.choices([1, 2, 3, 4], weights=[2, 4, 3, 1])[0]
+                     if heavy else
+                     rng.choices([1, 1, 1, 2, 3], weights=[5, 5, 5, 2, 1])[0])
             frag = rng.choice([None, None, 96])
             specs.append(text_ds(
                 text, tick_base, scale=scale, max_fragment=frag,
@@ -336,15 +341,16 @@ def random_payload_rows(rng: random.Random, url_idx: int
     return rows
 
 
-def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True
-                 ) -> tuple[pa.Table, pa.Table]:
-    """(pages, golden) tables. Deterministic in (n_urls, seed)."""
+def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
+                 heavy: bool = False) -> tuple[pa.Table, pa.Table]:
+    """(pages, golden) tables. Deterministic in (n_urls, seed, heavy)."""
     rng = random.Random(seed)
     urls: dict[str, list[tuple[int, bytes]]] = {}
     if include_tiny:
         urls.update(tiny_corpus_payloads())
     for i in range(n_urls):
-        urls[f"https://example.org/{seed}/{i}"] = random_payload_rows(rng, i)
+        urls[f"https://example.org/{seed}/{i}"] = random_payload_rows(
+            rng, i, heavy=heavy)
     golden = extract_corpus(urls)
     u_col, ts_col, html_col, text_col, lang_col = [], [], [], [], []
     g_url, g_text, g_n = [], [], []

@@ -222,8 +222,11 @@ def rle_decode_runs(buf: bytes, width: int):
     """Walk the RLE opcode stream once, yielding (linear_pixel_index,
     palette_index, run_length) with the exact cursor arithmetic of the
     reference decoder (incl. the end-of-line snap at :71-77). Returns a
-    list of runs; the caller scatters them into an image."""
+    list of runs; the caller scatters them into an image. The loop is
+    opcode-level (not pixel-level) and micro-optimized: it is the hot
+    inner loop of the extract stage."""
     runs = []
+    append = runs.append
     pos = 0          # num1: linear output cursor
     col = 0          # num2: pixels written in current line
     i = 0            # num3: input cursor
@@ -231,48 +234,48 @@ def rle_decode_runs(buf: bytes, width: int):
     while i < n:
         b = buf[i]
         i += 1
-        if b == 0 and i < n:
-            op = buf[i]
-            i += 1
-            if op == 0:
-                # end of line: snap to start of next row (reference :71-77)
-                pos = pos // width * width
-                if col < width:
-                    pos += width
-                col = 0
-            elif (op & 0xC0) == 0x40:
-                if i < n:
-                    ln = ((op - 0x40) << 8) + buf[i]
-                    i += 1
-                    runs.append((pos, 0, ln))
-                    pos += ln
-                    col += ln
-            elif (op & 0xC0) == 0x80:
-                if i < n:
-                    ln = op - 0x80
-                    idx = buf[i]
-                    i += 1
-                    runs.append((pos, idx, ln))
-                    pos += ln
-                    col += ln
-            elif (op & 0xC0) != 0:
-                if i < n:
-                    ln = ((op - 0xC0) << 8) + buf[i]
-                    idx = buf[i + 1]
-                    i += 2
-                    runs.append((pos, idx, ln))
-                    pos += ln
-                    col += ln
-            else:
-                runs.append((pos, 0, op))
-                pos += op
-                col += op
-        else:
+        if b != 0 or i >= n:
             # literal single pixel (also taken when b==0 at end of input,
             # matching the reference's `color1 == 0 && num3 < len` guard)
-            runs.append((pos, b, 1))
+            append((pos, b, 1))
             pos += 1
             col += 1
+            continue
+        op = buf[i]
+        i += 1
+        if op == 0:
+            # end of line: snap to start of next row (reference :71-77)
+            pos = pos // width * width
+            if col < width:
+                pos += width
+            col = 0
+            continue
+        kind = op & 0xC0
+        if kind == 0x80:
+            if i < n:
+                ln = op - 0x80
+                append((pos, buf[i], ln))
+                i += 1
+                pos += ln
+                col += ln
+        elif kind == 0x40:
+            if i < n:
+                ln = ((op - 0x40) << 8) + buf[i]
+                i += 1
+                append((pos, 0, ln))
+                pos += ln
+                col += ln
+        elif kind == 0xC0:
+            if i < n:
+                ln = ((op - 0xC0) << 8) + buf[i]
+                append((pos, buf[i + 1], ln))
+                i += 2
+                pos += ln
+                col += ln
+        else:
+            append((pos, 0, op))
+            pos += op
+            col += op
     return runs
 
 

@@ -108,21 +108,16 @@ def ocr_bitmap(rgba: np.ndarray) -> str:
                 if span % s != 0:
                     break
                 n = span // s
-                chars = []
-                ok = True
-                for c in range(n):
-                    cx = xa1 + c * s + s // 2
-                    cp = 0
-                    for r in range(GLYPH_ROWS):
-                        cy = top + r * s + s // 2
-                        if opaque[cy, cx]:
-                            cp |= 1 << r
-                    if cp == 0:
-                        ok = False
-                        break
-                    chars.append(chr(cp))
-                if ok:
-                    texts.append((top, xa0, "".join(chars)))
+                # vectorized glyph sampling: bits[r, c] at block centers
+                cxs = xa1 + np.arange(n) * s + s // 2
+                cys = top + np.arange(GLYPH_ROWS) * s + s // 2
+                bits = opaque[np.ix_(cys, cxs)]
+                cps = (bits.astype(np.uint32)
+                       * (1 << np.arange(GLYPH_ROWS, dtype=np.uint32))[:, None]
+                       ).sum(axis=0)
+                if (cps != 0).all():
+                    texts.append((top, xa0,
+                                  "".join(chr(c) for c in cps.tolist())))
                     used[i] = used[j] = True
                 break
         # unpaired marker blocks are ignored

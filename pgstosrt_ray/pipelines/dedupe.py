@@ -74,27 +74,30 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5):
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "est_jaccard": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64",
-                 "est_jaccard": "float64"})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs_ = [np.frombuffer(s, dtype=np.int64) for s in g["sig"]]
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs_[i] == sigs_[j]).mean())
-                if est >= threshold:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["est_jaccard"].append(est)
-        return pd.DataFrame(out)
+        # one Ray group per BAND (few, large groups — per-(band,key)
+        # map_groups costs ~ms of overhead per tiny group); the inner
+        # per-bucket pairing is an in-process pandas groupby. At 1e12
+        # scale, group by (band, key_prefix) for more parallelism.
+        for _, bucket in g.groupby("key", sort=True):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("doc_id")
+            ids = bucket["doc_id"].tolist()
+            sigs_ = [np.frombuffer(s, dtype=np.int64) for s in bucket["sig"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    est = float((sigs_[i] == sigs_[j]).mean())
+                    if est >= threshold:
+                        out["doc_a"].append(ids[i])
+                        out["doc_b"].append(ids[j])
+                        out["est_jaccard"].append(est)
+        return pd.DataFrame(out).astype({"doc_a": "int64", "doc_b": "int64",
+                                         "est_jaccard": "float64"})
 
-    pair_ds = buckets.groupby(["band", "key"]).map_groups(
-        pairs, batch_format="pandas")
+    pair_ds = buckets.groupby("band").map_groups(
+        bucket_pairs, batch_format="pandas")
     # same pair can surface from many bands: distinct
     from ray.data.aggregate import Max
     return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
@@ -148,23 +151,27 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        g = g.sort_values("doc_id")
-        recs = list(zip(g["doc_id"], g["simhash"]))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = hamming64(np.uint64(recs[i][1]).item(),
-                              np.uint64(recs[j][1]).item())
-                if d <= max_hamming:
-                    out["doc_a"].append(recs[i][0])
-                    out["doc_b"].append(recs[j][0])
-                    out["hamming"].append(d)
+        for _, bucket in g.groupby("key", sort=True):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("doc_id")
+            recs = list(zip(bucket["doc_id"], bucket["simhash"]))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    mask = (1 << 64) - 1
+                    d = hamming64(int(recs[i][1]) & mask,
+                                  int(recs[j][1]) & mask)
+                    if d <= max_hamming:
+                        out["doc_a"].append(recs[i][0])
+                        out["doc_b"].append(recs[j][0])
+                        out["hamming"].append(d)
         return pd.DataFrame(out).astype({"doc_a": "int64", "doc_b": "int64",
                                          "hamming": "int64"})
 
-    pair_ds = buckets.groupby(["band", "key"]).map_groups(
-        pairs, batch_format="pandas")
+    pair_ds = buckets.groupby("band").map_groups(
+        band_pairs, batch_format="pandas")
     from ray.data.aggregate import Min
     return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))

@@ -54,10 +54,24 @@ SQL_KEY_SELECT = ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
 
 # --- R1: deterministic re-sort + top-k (PgsOcr.cs:110 analogue) ----------
 def q_topk_sort(sf_dir: str):
+    """Top-k WITHOUT a global sort: per-batch partial top-k (narrow),
+    then a tiny driver-side merge of n_batches*k rows — the all-to-all
+    a naive ds.sort().limit() would do never happens (SURVEY §4)."""
+    import pandas as pd
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
-    return ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
-                   descending=[True, False, False]).limit(100)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True]).head(100)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    top = parts.sort_values(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        ascending=[False, True, True]).head(100).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
 
 SQL_TOPK_SORT = (
     "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "

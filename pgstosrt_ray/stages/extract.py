@@ -56,8 +56,14 @@ class ExtractorEngine:
     the glyph decoder is pure — but the shape is the contract: real OCR
     would load traineddata here, passed via fn_constructor_kwargs)."""
 
-    def __init__(self, language: str = "eng"):
+    def __init__(self, language: str = "eng", cache_size: int = 512):
         self.language = language  # O2 analogue: model selection
+        # per-actor decode+OCR memo: duplicate bitmaps are common in
+        # subtitle-style streams (merge-run candidates repeat the same
+        # RLE buffer), so identical (geometry, palette, buffers) cues
+        # reuse the decoded result. Bounded FIFO to cap actor heap.
+        self._cache: dict = {}
+        self._cache_size = cache_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -85,6 +91,14 @@ class ExtractorEngine:
                 texts.append("")
                 pixel_sha.append(b"")
                 continue
+            key = (tuple(bufs), palette_last[i], tuple(obj_x[i]),
+                   tuple(obj_y[i]), tuple(obj_w[i]), tuple(obj_h[i]))
+            hit = self._cache.get(key)
+            if hit is not None:
+                dec_h[i], dec_w[i], nt_h[i], nt_w[i], sha_v, text_v = hit
+                pixel_sha.append(sha_v)
+                texts.append(text_v)
+                continue
             ds = DisplaySet(
                 comp_num=0, comp_state=0, palette_update=False,
                 start_ticks=0,
@@ -101,9 +115,15 @@ class ExtractorEngine:
             h, w = non_transparent_extents(img)
             dec_h[i], dec_w[i] = img.shape[0], img.shape[1]
             nt_h[i], nt_w[i] = h, w
-            pixel_sha.append(hashlib.sha256(img.tobytes()).digest())
+            sha_v = hashlib.sha256(img.tobytes()).digest()
+            pixel_sha.append(sha_v)
             # trim like the reference (PgsOcr.cs:122)
-            texts.append(ocr_bitmap(img).strip())
+            text_v = ocr_bitmap(img).strip()
+            texts.append(text_v)
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = (dec_h[i], dec_w[i], nt_h[i], nt_w[i],
+                                sha_v, text_v)
 
         out: dict[str, object] = {name: batch.column(name)
                                   for name in PASSTHROUGH}

@@ -1,0 +1,185 @@
+"""Per-partition checkpointing + resume (SURVEY §4/§7 step 6;
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+Layout (resumable output, ray_guide "Sources & sinks"):
+
+    out_dir/
+      part=K/data.parquet        # docs rows whose hash(url) % P == K
+      _manifest/K.json           # lineage + metrics, written atomically
+
+A partition is complete iff its manifest exists. Manifests are written
+via temp-file + rename (atomic on POSIX), AFTER the data file, so a
+crash can leave orphan data but never a manifest without data. On
+restart the driver lists completed manifests and prefilters the input:
+pages whose url hashes into a completed partition are skipped at the
+READ (cheap map_batches filter), so finished work is never reparsed.
+
+Partition id = sha1(url) % P: stable across runs and processes (no
+Python hash()), independent of row order, and the SAME key as the
+assembly groupby, so every url's output lands in exactly one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def partition_of(url: str, num_partitions: int) -> int:
+    return int.from_bytes(hashlib.sha1(url.encode()).digest()[:8],
+                          "big") % num_partitions
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            try:
+                out.add(int(name[:-5]))
+            except ValueError:
+                pass
+    return out
+
+
+def write_partition(out_dir: str, part_id: int, table: pa.Table,
+                    metrics: dict | None = None) -> None:
+    """Atomically write one partition's docs + manifest."""
+    pdir = os.path.join(out_dir, f"part={part_id}")
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    data_path = os.path.join(pdir, "data.parquet")
+    tmp = data_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, data_path)
+    sha = hashlib.sha256()
+    for url, text in zip(table.column("url").to_pylist(),
+                         table.column("text").to_pylist()):
+        sha.update(url.encode())
+        sha.update(text.encode())
+    manifest = {
+        "part_id": part_id,
+        "n_rows": table.num_rows,
+        "n_bytes": os.path.getsize(data_path),
+        "content_sha256": sha.hexdigest(),
+        "wall_time_s": metrics.get("wall_time_s") if metrics else None,
+        "written_at": time.time(),
+    }
+    fd, tmp_m = tempfile.mkstemp(dir=_manifest_dir(out_dir))
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_m, os.path.join(_manifest_dir(out_dir),
+                                   f"{part_id}.json"))
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """Read back all completed partitions as one table."""
+    parts = []
+    for part_id in sorted(completed_partitions(out_dir)):
+        path = os.path.join(out_dir, f"part={part_id}", "data.parquet")
+        parts.append(pq.read_table(path))
+    if not parts:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "text": pa.array([], pa.string()),
+                         "n_cues": pa.array([], pa.int32())})
+    return pa.concat_tables(parts)
+
+
+def run_checkpointed(corpus: str, out_dir: str, cfg=None,
+                     fail_after_parts: int | None = None) -> dict:
+    """Run the extraction pipeline with per-partition checkpointing.
+
+    Completed partitions (manifest present) are skipped: their urls are
+    filtered out AT THE READ, so no demux/extract work happens for
+    them. Remaining docs get a stable partition id and each partition
+    is written atomically FROM THE WORKERS via
+    ``groupby(_pid).map_groups`` (single-node sandbox: same filesystem;
+    multi-node: out_dir is shared storage) — the driver only aggregates
+    the returned manifest rows.
+
+    ``fail_after_parts`` injects a crash after K newly-written
+    partitions (resume test); that path collects driver-side so the
+    failure point is deterministic. Returns run metrics.
+    """
+    import pyarrow.compute as pc
+
+    from ..config import DEFAULT_CONFIG
+    from ..pipelines.extract import extract_docs
+    from ..sources.pages import read_pages
+
+    cfg = cfg or DEFAULT_CONFIG
+    num_parts = cfg.num_partitions
+    done = completed_partitions(out_dir)
+    t0 = time.perf_counter()
+
+    pages = read_pages(corpus)
+    if done:
+        done_frozen = frozenset(done)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = [partition_of(u, num_parts) not in done_frozen
+                    for u in batch.column("url").to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        pages = pages.map_batches(keep, batch_format="pyarrow")
+
+    docs = extract_docs(pages, cfg)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pids = [partition_of(u, num_parts)
+                for u in batch.column("url").to_pylist()]
+        return batch.append_column("_pid", pa.array(pids, pa.int32()))
+
+    docs_pid = docs.map_batches(add_pid, batch_format="pyarrow")
+
+    if fail_after_parts is not None:
+        # deterministic failure injection: collect driver-side, write
+        # partitions in order, crash after K
+        buckets: dict[int, list[pa.Table]] = {}
+        for batch in docs_pid.iter_batches(batch_format="pyarrow"):
+            for pid in set(batch.column("_pid").to_pylist()):
+                sub = batch.filter(pc.equal(batch.column("_pid"), pid))
+                buckets.setdefault(pid, []).append(
+                    sub.drop_columns(["_pid"]))
+        written = 0
+        wall = time.perf_counter() - t0
+        for pid in sorted(buckets):
+            table = pa.concat_tables(buckets[pid]).sort_by("url")
+            write_partition(out_dir, pid, table,
+                            metrics={"wall_time_s": round(wall, 3)})
+            written += 1
+            if written >= fail_after_parts:
+                raise RuntimeError(
+                    f"injected failure after {written} partitions")
+        return {"written_partitions": written,
+                "skipped_partitions": len(done),
+                "wall_time_s": round(wall, 3)}
+
+    def write_group(group: pa.Table) -> pa.Table:
+        pid = group.column("_pid")[0].as_py()
+        t_start = time.perf_counter()
+        table = group.drop_columns(["_pid"]).sort_by("url")
+        write_partition(out_dir, pid, table,
+                        metrics={"wall_time_s":
+                                 round(time.perf_counter() - t_start, 3)})
+        return pa.table({"part_id": pa.array([pid], pa.int32()),
+                         "n_rows": pa.array([table.num_rows], pa.int64())})
+
+    manifest_rows = docs_pid.groupby("_pid").map_groups(
+        write_group, batch_format="pyarrow").to_pandas()
+    return {"written_partitions": int(len(manifest_rows)),
+            "skipped_partitions": len(done),
+            "wall_time_s": round(time.perf_counter() - t0, 3)}
