@@ -23,9 +23,11 @@ class PipelineConfig:
     extract_num_cpus: float = 1.0
     # partitioned-output / checkpoint layout
     num_partitions: int = 16
-    # size-aware repartitioning before the extract stage: target bytes
-    # of html payload per demux input block (skew defense, SURVEY §4)
-    target_payload_bytes_per_block: int = 32 * 1024 * 1024
+    # skew defense (SURVEY §4): pages whose html payload exceeds this
+    # threshold are routed through a small-batch lane so one multi-MB
+    # blob cannot straggle a 64-row batch; None disables the split
+    skew_split_bytes: int | None = 256 * 1024
+    skew_big_batch_size: int = 4
 
     def concurrency(self):
         c = self.extract_concurrency

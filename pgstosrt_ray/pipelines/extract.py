@@ -26,15 +26,55 @@ from ..stages.demux import demux_batch
 from ..stages.extract import ExtractorEngine
 
 
-def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """pages Dataset -> docs Dataset (url, text, n_cues). Lazy."""
+def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int, extract_bs: int):
     cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
-                                batch_size=cfg.demux_batch_size)
-    spans = cues.map_batches(
+                                batch_size=demux_bs)
+    return cues.map_batches(
         ExtractorEngine, batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
+        batch_size=extract_bs,
         concurrency=cfg.concurrency(),
         num_cpus=cfg.extract_num_cpus)
+
+
+def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """pages Dataset -> docs Dataset (url, text, n_cues). Lazy.
+
+    Skew defense (SURVEY §4, north_star "explicit repartitioning to
+    defeat payload-size skew"): rows with html larger than
+    ``cfg.skew_split_bytes`` go through a small-batch lane (few rows
+    per task) while the bulk lane keeps large batches; the two span
+    streams union before the url groupby, which re-co-locates any url
+    whose rows straddled the lanes."""
+    import pyarrow.compute as pc
+
+    if cfg.skew_split_bytes is not None:
+        thr = cfg.skew_split_bytes
+
+        def _lane(batch: pa.Table, big: bool) -> pa.Table:
+            sizes = pc.binary_length(batch.column("html"))
+            mask = pc.greater_equal(sizes, thr) if big \
+                else pc.less(sizes, thr)
+            return batch.filter(mask)
+
+        small = pages_ds.map_batches(
+            functools.partial(_lane, big=False), batch_format="pyarrow")
+        big = pages_ds.map_batches(
+            functools.partial(_lane, big=True), batch_format="pyarrow")
+        # big lane: STATELESS tasks with tiny batches — elastic (no
+        # idle actor pool when the lane is empty) and one multi-MB
+        # payload never shares a batch with 63 others
+        big_engine = ExtractorEngine()
+
+        def big_extract(batch: pa.Table) -> pa.Table:
+            return big_engine(demux_batch(batch))
+
+        big_spans = big.map_batches(big_extract, batch_format="pyarrow",
+                                    batch_size=cfg.skew_big_batch_size)
+        spans = _spans_of(small, cfg, cfg.demux_batch_size,
+                          cfg.extract_batch_size).union(big_spans)
+    else:
+        spans = _spans_of(pages_ds, cfg, cfg.demux_batch_size,
+                          cfg.extract_batch_size)
     assemble = functools.partial(assemble_url_group,
                                  skip_merge=cfg.skip_merge,
                                  force_merge_all=cfg.force_merge_all)

@@ -285,6 +285,73 @@ SQL_EXACT_DEDUP = (
     "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)")
 
 
+# --- streaming-shaped: session windows (SURVEY §2.9; ray_guide
+# "Streaming-shaped workloads": ordered, partitioned log + map_groups)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(sf_dir: str):
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gap = g["ts"].diff().dt.total_seconds().mul(1_000_000)
+        new_sess = (gap.isna() | (gap > SESSION_GAP_US)).astype("int64")
+        g["session_id"] = new_sess.cumsum()
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"), n_events=("event_id", "count"),
+            start_ts=("ts", "min"), end_ts=("ts", "max"))
+        return out[["user_id", "session_id", "n_events",
+                    "start_ts", "end_ts"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_US}' MICROSECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# --- streaming-shaped: tumbling window aggregate -------------------------
+def q_tumbling_window(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        t = t.append_column("window_start", hour)
+        t = t.append_column("value_milli",
+                            pc.cast(pc.round(pc.multiply(
+                                t.column("value"), 1000.0)), pa.int64()))
+        return t.select(["user_id", "window_start", "value_milli"])
+
+    win = ds.map_batches(windowed, batch_format="pyarrow")
+    return win.groupby(["user_id", "window_start"]).aggregate(
+        Sum("value_milli", alias_name="sum_value_milli"),
+        Count(alias_name="n_events"))
+
+SQL_TUMBLING_WINDOW = (
+    "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+    "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli, "
+    "COUNT(*) AS n_events FROM events "
+    "GROUP BY user_id, date_trunc('hour', ts)")
+
+
 QUERIES = {
     "lang_filter": q_lang_filter,
     "key_select": q_key_select,
@@ -300,6 +367,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "quality_counts": q_quality_counts,
     "exact_dedup": q_exact_dedup,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
 }
 
 ORACLE_SQL = {
@@ -317,4 +386,6 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "quality_counts": SQL_QUALITY_COUNTS,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "sessionize": SQL_SESSIONIZE,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
 }
