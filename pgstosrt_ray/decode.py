@@ -58,46 +58,79 @@ def decode_object_raw(rle: bytes, width: int, height: int,
         return np.zeros((1, 1, 4), dtype=np.uint8)
     runs = rle_decode_runs(rle, width)
     n = width * height
-    idx_img = np.zeros(n, dtype=np.uint8)
     if runs:
-        arr = np.array(runs, dtype=np.int64)
+        arr = np.array(runs, dtype=np.int32)
         pos_arr, idx_arr, len_arr = arr[:, 0], arr[:, 1], arr[:, 2]
-        total = int(len_arr.sum())
-        ends = np.cumsum(len_arr)
-        within = np.arange(total) - np.repeat(ends - len_arr, len_arr)
-        positions = np.repeat(pos_arr, len_arr) + within
-        values = np.repeat(idx_arr, len_arr)
-        ok = positions < n  # overflow pixels would raise in C#; clamp-safe
-        positions, values = positions[ok], values[ok]
-        idx_img[positions] = values
-        if lut[0].any():
-            # palette entry 0 is normally transparent-black; if a stream
-            # redefines it, unwritten pixels must still stay clear
-            img = lut[idx_img]
-            written = np.zeros(n, dtype=bool)
-            written[positions] = True
-            img[~written] = 0
-            return img.reshape(height, width, 4)
-    # fast path: lut[0] is all-zero, so unwritten pixels come out zero,
-    # and alpha-0 LUT rows are provably all-zero (build_palette_lut
-    # clamps alpha<14 colors to black), matching PutPixel's skip
+        ends = np.cumsum(len_arr, dtype=np.int32)
+        starts = ends - len_arr
+        total = int(ends[-1])
+        if total <= n and np.array_equal(pos_arr, starts):
+            # fast path: runs tile the image contiguously from pixel 0
+            # (the overwhelmingly common stream shape) — one uint8
+            # repeat, no position scatter, no int64 temporaries
+            idx_img = np.zeros(n, dtype=np.uint8)
+            idx_img[:total] = np.repeat(idx_arr.astype(np.uint8), len_arr)
+        else:
+            idx_img = np.zeros(n, dtype=np.uint8)
+            within = np.arange(total, dtype=np.int32) \
+                - np.repeat(starts, len_arr)
+            positions = np.repeat(pos_arr, len_arr) + within
+            values = np.repeat(idx_arr.astype(np.uint8), len_arr)
+            ok = positions < n  # overflow would raise in C#; clamp-safe
+            positions, values = positions[ok], values[ok]
+            idx_img[positions] = values
+            if lut[0].any():
+                # palette entry 0 is normally transparent-black; if a
+                # stream redefines it, unwritten pixels must stay clear
+                img = lut[idx_img]
+                written = np.zeros(n, dtype=bool)
+                written[positions] = True
+                img[~written] = 0
+                return img.reshape(height, width, 4)
+    else:
+        idx_img = np.zeros(n, dtype=np.uint8)
+    # lut[0] is all-zero in well-formed palettes, so unwritten pixels
+    # come out zero, and alpha-0 LUT rows are provably all-zero
+    # (build_palette_lut clamps alpha<14 colors to black), matching
+    # PutPixel's skip (:149-155)
+    if runs and lut[0].any() and total < n:
+        img = lut[idx_img]
+        img[total:] = 0
+        return img.reshape(height, width, 4)
     return lut[idx_img].reshape(height, width, 4)
 
 
-def decode_display_set(ds: DisplaySet) -> np.ndarray:
-    """GetRgba32 equivalent (BluRaySupParserExtensions.cs:12-34).
+def decode_display_set(ds: DisplaySet, lut_cache: dict | None = None
+                       ) -> np.ndarray:
+    """GetRgba32 equivalent (BluRaySupParserExtensions.cs:12-34), WITHOUT
+    the +50 transparent padding (:136-140): padding carries no content,
+    so every derived quantity is computed pad-free and the canvas
+    dimensions are reported as content+PAD by decode_meta_of — the
+    padded image is a pure function of (content, dims), making padded
+    equality equivalent to (content equality AND dims equality). This
+    halves memory traffic in the extract hot loop.
 
     Deviation (documented in the module docstring): the reference's
     multi-object path draws each *padded* decode into an *unpadded*
     union-rect canvas with opacity 0 — a double bug that yields a fully
     transparent canvas. We composite the unpadded decodes at
-    (origin - union.origin) with source-over overwrite, then apply the
-    +50 padding once, so the multi-object canvas is consistent with the
-    single-object one."""
-    lut = build_palette_lut(ds.palette_buffers)
+    (origin - union.origin) with source-over overwrite, consistent with
+    the single-object path.
+
+    ``lut_cache`` (dict) memoizes palette LUT construction per distinct
+    last-version palette buffer (palettes repeat heavily across cues)."""
+    if lut_cache is not None:
+        key = ds.palette_buffers[-1] if ds.palette_buffers else b""
+        lut = lut_cache.get(key)
+        if lut is None:
+            lut = build_palette_lut(ds.palette_buffers)
+            if len(lut_cache) < 256:
+                lut_cache[key] = lut
+    else:
+        lut = build_palette_lut(ds.palette_buffers)
     if len(ds.objects) == 1:
         f0 = ds.bitmap_objects[0][0]
-        return _pad_canvas(decode_object_raw(f0.data, f0.width, f0.height, lut))
+        return decode_object_raw(f0.data, f0.width, f0.height, lut)
     # multi-object: union of (origin, first-fragment size) rects (:17-22)
     rects = []
     for i, obj in enumerate(ds.objects):
@@ -116,7 +149,7 @@ def decode_display_set(ds: DisplaySet) -> np.ndarray:
         dst = canvas[oy:oy + src.shape[0], ox:ox + src.shape[1]]
         mask = src[:, :, 3] > 0
         dst[mask] = src[mask]
-    return _pad_canvas(canvas)
+    return canvas
 
 
 def non_transparent_extents(img: np.ndarray) -> tuple[int, int]:
@@ -145,7 +178,13 @@ class DecodeMeta:
 
 
 def decode_meta_of(img: np.ndarray) -> DecodeMeta:
+    """Merge metadata from the UNPADDED canvas. Reported dims include
+    the reference's +50 padding (:136-140) so the size comparison in
+    IsEqualTo semantics is unchanged; extents are padding-invariant
+    (padding is fully transparent); the pixel hash is over the content,
+    and (content hash, dims) equality <=> padded-image equality."""
     nt_h, nt_w = non_transparent_extents(img)
-    return DecodeMeta(dec_h=img.shape[0], dec_w=img.shape[1], nt_h=nt_h,
-                      nt_w=nt_w,
-                      pixel_sha=hashlib.sha256(np.ascontiguousarray(img).tobytes()).digest())
+    return DecodeMeta(dec_h=img.shape[0] + PAD, dec_w=img.shape[1] + PAD,
+                      nt_h=nt_h, nt_w=nt_w,
+                      pixel_sha=hashlib.sha256(
+                          np.ascontiguousarray(img).tobytes()).digest())

@@ -305,23 +305,36 @@ _WORDS = ("the quick brown fox jumps over lazy dog data stream ray arrow "
 
 
 def random_payload_rows(rng: random.Random, url_idx: int,
-                        heavy: bool = False) -> list[tuple[int, bytes]]:
-    """A seeded random url: 1-3 rows, mixed features. ``heavy`` makes
-    bench-grade payloads (more cues, longer texts, larger glyph scales)
-    so per-row compute dominates scheduling overhead."""
+                        heavy: bool = False,
+                        profile: str | None = None) -> list[tuple[int, bytes]]:
+    """A seeded random url: 1-3 rows, mixed features.
+
+    Profiles: "default" small mixed payloads (correctness);
+    "heavy" large glyph scales (big-bitmap stress; memory-bound);
+    "wide" many long single-scale cues (CPU-bound, cache-friendly —
+    the scaling-bench profile: per-cue canvases stay ~20 KB so the
+    workload parallelizes instead of saturating memory bandwidth)."""
+    profile = profile or ("heavy" if heavy else "default")
     t0 = 1_600_000_000_000_000 + url_idx * 1_000_000
     n_rows = rng.choices([1, 2, 3], weights=[6, 3, 1])[0]
     rows = []
     tick_base = TICK
     for r in range(n_rows):
-        n_cues = rng.randint(4, 12) if heavy else rng.randint(1, 6)
+        n_cues = {"heavy": (4, 12), "wide": (14, 24),
+                  "default": (1, 6)}[profile]
+        n_cues = rng.randint(*n_cues)
         specs: list[DsSpec] = []
         for c in range(n_cues):
-            text = " ".join(rng.choices(
-                _WORDS, k=rng.randint(20, 60) if heavy else rng.randint(2, 8)))
-            scale = (rng.choices([1, 2, 3, 4], weights=[2, 4, 3, 1])[0]
-                     if heavy else
-                     rng.choices([1, 1, 1, 2, 3], weights=[5, 5, 5, 2, 1])[0])
+            words = {"heavy": (20, 60), "wide": (40, 80),
+                     "default": (2, 8)}[profile]
+            text = " ".join(rng.choices(_WORDS, k=rng.randint(*words)))
+            if profile == "heavy":
+                scale = rng.choices([1, 2, 3, 4], weights=[2, 4, 3, 1])[0]
+            elif profile == "wide":
+                scale = 1
+            else:
+                scale = rng.choices([1, 1, 1, 2, 3],
+                                    weights=[5, 5, 5, 2, 1])[0]
             frag = rng.choice([None, None, 96])
             specs.append(text_ds(
                 text, tick_base, scale=scale, max_fragment=frag,
@@ -342,15 +355,16 @@ def random_payload_rows(rng: random.Random, url_idx: int,
 
 
 def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
-                 heavy: bool = False) -> tuple[pa.Table, pa.Table]:
-    """(pages, golden) tables. Deterministic in (n_urls, seed, heavy)."""
+                 heavy: bool = False,
+                 profile: str | None = None) -> tuple[pa.Table, pa.Table]:
+    """(pages, golden) tables. Deterministic in (n_urls, seed, profile)."""
     rng = random.Random(seed)
     urls: dict[str, list[tuple[int, bytes]]] = {}
     if include_tiny:
         urls.update(tiny_corpus_payloads())
     for i in range(n_urls):
         urls[f"https://example.org/{seed}/{i}"] = random_payload_rows(
-            rng, i, heavy=heavy)
+            rng, i, heavy=heavy, profile=profile)
     golden = extract_corpus(urls)
     u_col, ts_col, html_col, text_col, lang_col = [], [], [], [], []
     g_url, g_text, g_n = [], [], []

@@ -264,6 +264,38 @@ SQL_QUALITY_COUNTS = (
     "FROM documents")
 
 
+# --- text analysis: BPE-ish subword token proxy (oracle-checked) ---------
+def q_bpe_token_count(sf_dir: str):
+    import pandas as pd
+    from ..functions.text import bpe_ish_token_count
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_subtokens": bpe_ish_token_count(df["text"])})
+
+    return ds.map_batches(counts, batch_format="pandas")
+
+SQL_BPE_TOKEN_COUNT = (
+    "SELECT doc_id, length(regexp_extract_all(text, "
+    "'[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS n_subtokens FROM documents")
+
+
+# --- text analysis: winnowing-style rolling-hash fingerprint -------------
+def q_rolling_fingerprint(sf_dir: str):
+    import pandas as pd
+    from ..functions.text import rolling_fingerprint
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "rfp": rolling_fingerprint(df["text"])
+                            .astype("int64")})
+
+    return ds.map_batches(fp, batch_format="pandas")
+# (no SQL oracle: the rolling polynomial hash is not SQL-expressible)
+
+
 # --- exact dedup: hash-partitioned first-per-group (oracle-checked) ------
 def q_exact_dedup(sf_dir: str):
     import pandas as pd
@@ -369,6 +401,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
+    "bpe_token_count": q_bpe_token_count,
+    "rolling_fingerprint": q_rolling_fingerprint,
 }
 
 ORACLE_SQL = {
@@ -388,4 +422,5 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
 }

@@ -17,24 +17,27 @@ CACHE_ROOT = os.environ.get("PGSTOSRT_FIXTURE_DIR", "/tmp/pgstosrt_fixtures")
 
 
 def corpus_dir(name: str, n_urls: int, seed: int,
-               heavy: bool = False) -> str:
-    suffix = "-heavy" if heavy else ""
+               heavy: bool = False, profile: str | None = None) -> str:
+    profile = profile or ("heavy" if heavy else "default")
+    suffix = "" if profile == "default" else f"-{profile}"
     return os.path.join(CACHE_ROOT, f"{name}-u{n_urls}-s{seed}{suffix}")
 
 
 def materialize_corpus(name: str, n_urls: int, seed: int = 42,
                        files: int = 8, include_tiny: bool = True,
-                       heavy: bool = False) -> str:
+                       heavy: bool = False,
+                       profile: str | None = None) -> str:
     """Write (pages, golden) parquet for a corpus; idempotent via a
     _SUCCESS marker. Returns the corpus directory; pages live under
     ``<dir>/pages/part-*.parquet``, golden at ``<dir>/golden.parquet``."""
     from ..fixtures import build_corpus
-    out = corpus_dir(name, n_urls, seed, heavy)
+    out = corpus_dir(name, n_urls, seed, heavy, profile)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
     pages, golden = build_corpus(n_urls, seed=seed,
-                                 include_tiny=include_tiny, heavy=heavy)
+                                 include_tiny=include_tiny, heavy=heavy,
+                                 profile=profile)
     pages_dir = os.path.join(out, "pages")
     os.makedirs(pages_dir, exist_ok=True)
     n = pages.num_rows

@@ -19,9 +19,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
-from ..decode import decode_display_set, non_transparent_extents
+from ..decode import PAD, decode_display_set, non_transparent_extents
 from ..format import build_palette_lut
 from ..glyph import ocr_bitmap
 from ..parse import DisplaySet, OdsFrag, PcsObj
@@ -64,6 +65,7 @@ class ExtractorEngine:
         # reuse the decoded result. Bounded FIFO to cap actor heap.
         self._cache: dict = {}
         self._cache_size = cache_size
+        self._lut_cache: dict = {}  # palette bytes -> 256x4 LUT
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -111,11 +113,13 @@ class ExtractorEngine:
                                 for k in range(len(bufs))],
                 palette_buffers=[palette_last[i]] if palette_last[i] else [],
             )
-            img = decode_display_set(ds)
+            img = decode_display_set(ds, self._lut_cache)  # unpadded
             h, w = non_transparent_extents(img)
-            dec_h[i], dec_w[i] = img.shape[0], img.shape[1]
+            # dims reported as content+PAD (see decode.decode_meta_of)
+            dec_h[i], dec_w[i] = img.shape[0] + PAD, img.shape[1] + PAD
             nt_h[i], nt_w[i] = h, w
-            sha_v = hashlib.sha256(img.tobytes()).digest()
+            sha_v = hashlib.sha256(np.ascontiguousarray(img)
+                                   .tobytes()).digest()
             pixel_sha.append(sha_v)
             # trim like the reference (PgsOcr.cs:122)
             text_v = ocr_bitmap(img).strip()
