@@ -61,8 +61,8 @@ def run_bench() -> dict:
     from pgstosrt_ray.pipelines.extract import extract_docs
 
     # fixed pool size (prestarted): the autoscaler ramps too slowly to
-    # saturate within a run; reserve 2 CPUs for read/assemble stages
-    cfg = PipelineConfig(extract_concurrency=max(2, NUM_CPUS - 2))
+    # saturate within a run; ~20% of CPUs stay free for demux/shuffle
+    cfg = PipelineConfig.sized_for(NUM_CPUS)
 
     # warm the page cache + Ray worker pool with one untimed pass
     read_pages(corpus).count()

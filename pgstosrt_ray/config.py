@@ -16,18 +16,41 @@ class PipelineConfig:
     # None = all languages
     lang: str | None = None
     # stage sizing — payload-heavy demux reads few rows per batch; the
-    # extractor pool is the warm-engine stage (SURVEY §4)
+    # extractor pool is the warm-engine stage (SURVEY §4). Demux tasks
+    # reserve a fractional CPU so they interleave with the actor pool
+    # (and fusion into the pool is blocked — uniform cue batching).
     demux_batch_size: int = 32
-    extract_batch_size: int = 64
+    demux_num_cpus: float = 0.5
+    extract_batch_size: int = 128
     extract_concurrency: tuple[int, int] | int = (2, 8)
     extract_num_cpus: float = 1.0
+    # "tasks": stateless map_batches with a per-worker-process engine
+    #   singleton — elastic, no pool spin-up; the right choice when the
+    #   engine constructor is cheap (ray_guide: "plain function ->
+    #   stateless tasks"). The engine is still constructed once per
+    #   worker process and reused across batches (warm).
+    # "actors": the O1 warm actor pool (map_batches(ExtractorEngine,
+    #   concurrency=N)) — the shape for engines with expensive init
+    #   (real OCR models); costs pool spin-up per execution.
+    extract_mode: str = "tasks"
+
+    @staticmethod
+    def sized_for(num_cpus: int) -> "PipelineConfig":
+        """Pool ~0.8x CPUs, remainder for demux/read/shuffle stages."""
+        return PipelineConfig(
+            extract_concurrency=max(2, round(num_cpus * 0.8)))
     # partitioned-output / checkpoint layout
     num_partitions: int = 16
-    # skew defense (SURVEY §4): pages whose html payload exceeds this
-    # threshold are routed through a small-batch lane so one multi-MB
-    # blob cannot straggle a 64-row batch; None disables the split
-    skew_split_bytes: int | None = 256 * 1024
+    # assembly shuffle buckets (sha1(url) % B); ~4x total cores
+    assemble_buckets: int = 128
+    # skew defense (SURVEY §4): the primary defense is structural —
+    # demux runs unfused with small page batches, so extract batches
+    # are uniform in CUES regardless of page size. Optionally, pages
+    # above this threshold also route through a dedicated tiny-batch
+    # task lane (costs a second read of the input); None disables.
+    skew_split_bytes: int | None = None
     skew_big_batch_size: int = 4
+    demux_batch_size_small: int = 8
 
     def concurrency(self):
         c = self.extract_concurrency

@@ -76,7 +76,12 @@ def _longest_runs_per_column(opaque: np.ndarray):
 
 def ocr_bitmap(rgba: np.ndarray) -> str:
     """Decode text from an RGBA canvas via the alpha channel."""
-    opaque = rgba[:, :, 3] > 0
+    return ocr_mask(rgba[:, :, 3] > 0)
+
+
+def ocr_mask(opaque: np.ndarray) -> str:
+    """Decode text from a per-pixel opacity mask (the hot-path entry:
+    the pipeline never materializes RGBA, see decode.py)."""
     cols, tops, lens = _longest_runs_per_column(opaque)
     keep = (lens >= GLYPH_ROWS) & (lens % GLYPH_ROWS == 0)
     cand = list(zip(cols[keep].tolist(), tops[keep].tolist(), lens[keep].tolist()))
@@ -117,7 +122,8 @@ def ocr_bitmap(rgba: np.ndarray) -> str:
                        ).sum(axis=0)
                 if (cps != 0).all():
                     texts.append((top, xa0,
-                                  "".join(chr(c) for c in cps.tolist())))
+                                  cps.astype("<u4").tobytes()
+                                  .decode("utf-32-le")))
                     used[i] = used[j] = True
                 break
         # unpaired marker blocks are ignored

@@ -27,8 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from .decode import DecodeMeta, decode_display_set, decode_meta_of
-from .glyph import ocr_bitmap
+from .decode import DecodeMeta, cue_meta_and_text
 from .merge import (cue_view_of, end_time_fill, merge_cue_runs,
                     reassemble_fragments)
 from .parse import DisplaySet, parse_payload
@@ -58,7 +57,7 @@ def prepare_url_cues(rows: list[tuple[int, bytes]]) -> list[DisplaySet]:
 
     def get_meta(i: int) -> DecodeMeta:
         if i not in meta_cache:
-            meta_cache[i] = decode_meta_of(decode_display_set(cues[i]))
+            meta_cache[i] = cue_meta_and_text(cues[i])[0]
         return meta_cache[i]
 
     keep = merge_cue_runs(views, get_meta)
@@ -72,13 +71,15 @@ def prepare_url_cues(rows: list[tuple[int, bytes]]) -> list[DisplaySet]:
 
 
 def extract_url(rows: list[tuple[int, bytes]]) -> tuple[str, int]:
-    """Full oracle: rows of one url -> (srt_text, n_cues)."""
+    """Full oracle: rows of one url -> (srt_text, n_cues). Decode+OCR
+    goes through the SAME cue_meta_and_text kernel the Ray extract
+    stage uses (trim included, PgsOcr.cs:122)."""
     cues = prepare_url_cues(rows)
     triples = []
     for c in cues:
-        text = ocr_bitmap(decode_display_set(c))
+        _meta, text = cue_meta_and_text(c)
         triples.append((ticks_to_ms(c.start_ticks), ticks_to_ms(c.end_ticks),
-                        text.strip()))
+                        text))
     return serialize_srt(triples), len(triples)
 
 

@@ -21,14 +21,38 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..sources.pages import read_pages
-from ..stages.assemble import assemble_url_group
+from ..stages.assemble import assemble_bucket
 from ..stages.demux import demux_batch
 from ..stages.extract import ExtractorEngine
 
 
+_TASK_ENGINE: dict = {}
+
+
+def _task_extract(batch: pa.Table) -> pa.Table:
+    """Task-mode extract: the engine is a per-worker-process singleton,
+    constructed once and reused across every batch the worker sees —
+    the same warm-engine amortization as the actor pool, scheduled
+    elastically (no pool spin-up)."""
+    eng = _TASK_ENGINE.get("engine")
+    if eng is None:
+        eng = _TASK_ENGINE["engine"] = ExtractorEngine()
+    return eng(batch)
+
+
 def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int, extract_bs: int):
+    if cfg.extract_mode == "tasks":
+        cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
+                                    batch_size=demux_bs)
+        return cues.map_batches(_task_extract, batch_format="pyarrow",
+                                batch_size=extract_bs)
+    # actor-pool mode (O1 shape for expensive engines): demux runs as
+    # SEPARATE tasks (fractional num_cpus blocks fusion into the pool),
+    # so page-size skew is bounded by the small demux batch and the
+    # pool consumes UNIFORM cue batches regardless of cues-per-page
     cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
-                                batch_size=demux_bs)
+                                batch_size=demux_bs,
+                                num_cpus=cfg.demux_num_cpus)
     return cues.map_batches(
         ExtractorEngine, batch_format="pyarrow",
         batch_size=extract_bs,
@@ -75,10 +99,25 @@ def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     else:
         spans = _spans_of(pages_ds, cfg, cfg.demux_batch_size,
                           cfg.extract_batch_size)
-    assemble = functools.partial(assemble_url_group,
+    # shuffle on a hash bucket, not the raw url: the sort-based shuffle
+    # then moves small-int keys and per-group overhead is paid per
+    # bucket (B groups) instead of per url (millions at scale); the
+    # same sha1(url) keying the checkpoint sink uses (state/checkpoint)
+    from ..state.checkpoint import partition_of
+    n_buckets = cfg.assemble_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_bucket", pa.array(
+            [partition_of(u, n_buckets)
+             for u in batch.column("url").to_pylist()], pa.int32()))
+
+    assemble = functools.partial(assemble_bucket,
                                  skip_merge=cfg.skip_merge,
                                  force_merge_all=cfg.force_merge_all)
-    return spans.groupby("url").map_groups(assemble, batch_format="pyarrow")
+    docs = (spans.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(assemble, batch_format="pyarrow"))
+    return docs
 
 
 def extract_corpus_docs(corpus: str, cfg: PipelineConfig = DEFAULT_CONFIG):

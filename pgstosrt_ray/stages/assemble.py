@@ -1,14 +1,17 @@
 """Assemble stage: spans -> docs (SURVEY.md §2.5 A2-A3, §2.6 R1, §2.7 D1-D2).
 
-Runs inside ``groupby("url").map_groups`` — the pipeline's ONE wide
-shuffle. Per url: order cues by the deterministic key
-(warc_ts, row_key, seq), dedupe identical rows, then apply the
-reference's list passes via the SAME functions the oracle uses
-(merge.end_time_fill / merge.merge_cue_runs — byte-identity by
-construction), then number cues 1..n and serialize SRT (srt.py).
+Runs inside ``groupby(_bucket).map_groups`` — the pipeline's ONE wide
+shuffle, keyed on sha1(url) % B (small-int key, B groups) rather than
+the raw url (millions of tiny groups at scale). Per url: order cues by
+the deterministic key (warc_ts, row_key, seq), dedupe identical rows,
+then apply the reference's list passes via the SAME functions the
+oracle uses (merge.end_time_fill / merge.merge_cue_runs —
+byte-identity by construction), then number cues 1..n and serialize
+SRT (srt.py).
 
 The merge's decode-dependent heuristics read the metadata the extract
-stage precomputed (DecodeMeta), so no bitmaps are decoded here.
+stage precomputed (DecodeMeta), so no bitmaps are decoded here. Data
+access is columnar (one to_pylist per column per bucket), not row-wise.
 """
 
 from __future__ import annotations
@@ -25,44 +28,84 @@ DOCS_SCHEMA = pa.schema([
     ("n_cues", pa.int32()),
 ])
 
+_COLS = ["url", "warc_ts", "row_key", "seq", "start_ticks", "end_ticks",
+         "width", "height", "n_objects", "palette_count", "obj_lens",
+         "obj_shas", "dec_h", "dec_w", "nt_h", "nt_w", "pixel_sha", "text"]
 
-def assemble_url_group(group: pa.Table, *, skip_merge: bool = False,
-                       force_merge_all: bool = False) -> pa.Table:
-    """One url's spans -> one (url, text, n_cues) row."""
-    url = group.column("url")[0].as_py()
-    rows = group.to_pylist()
-    # deterministic order + exact-duplicate payload drop (oracle step 1):
-    # duplicate (warc_ts, html) rows produce identical (warc_ts,
-    # row_key, seq) cue keys, so keeping one row per key dedupes them
-    uniq = {}
-    for r in rows:
-        uniq.setdefault((r["warc_ts"], r["row_key"], r["seq"]), r)
-    cues = [uniq[k] for k in sorted(uniq)]
+
+def _assemble_one_url(c: dict, lo: int, hi: int, skip_merge: bool,
+                      force_merge_all: bool) -> tuple[str, int]:
+    """Columns dict + row range for ONE url -> (srt_text, n_cues)."""
+    order = sorted(range(lo, hi), key=lambda i: (
+        c["warc_ts"][i], c["row_key"][i], c["seq"][i]))
+    # exact-duplicate payload drop (oracle step 1): duplicate
+    # (warc_ts, html) rows produce identical (warc_ts, row_key, seq)
+    # keys; keep the first of each
+    rows = []
+    seen = set()
+    for i in order:
+        k = (c["warc_ts"][i], c["row_key"][i], c["seq"][i])
+        if k in seen:
+            continue
+        seen.add(k)
+        rows.append(i)
 
     views = [CueView(
-        start_ticks=r["start_ticks"], end_ticks=r["end_ticks"],
-        width=r["width"], height=r["height"], n_objects=r["n_objects"],
-        obj_keys=tuple((  # one reassembled fragment per object
-            (ln, sha),) for ln, sha in zip(r["obj_lens"], r["obj_shas"])),
-        palette_count=r["palette_count"],
-    ) for r in cues]
+        start_ticks=c["start_ticks"][i], end_ticks=c["end_ticks"][i],
+        width=c["width"][i], height=c["height"][i],
+        n_objects=c["n_objects"][i],
+        obj_keys=tuple(((ln, sha),) for ln, sha in
+                       zip(c["obj_lens"][i], c["obj_shas"][i])),
+        palette_count=c["palette_count"][i],
+    ) for i in rows]
     end_time_fill(views)
-    # empty-composition filter (reference :398) — after fill, like the oracle
-    keep_nonempty = [i for i, v in enumerate(views) if v.n_objects > 0]
-    views_f = [views[i] for i in keep_nonempty]
-    cues_f = [cues[i] for i in keep_nonempty]
+    keep_nonempty = [k for k, v in enumerate(views) if v.n_objects > 0]
+    views_f = [views[k] for k in keep_nonempty]
+    rows_f = [rows[k] for k in keep_nonempty]
 
-    def get_meta(i: int) -> DecodeMeta:
-        r = cues_f[i]
-        return DecodeMeta(dec_h=r["dec_h"], dec_w=r["dec_w"],
-                          nt_h=r["nt_h"], nt_w=r["nt_w"],
-                          pixel_sha=r["pixel_sha"])
+    def get_meta(k: int) -> DecodeMeta:
+        i = rows_f[k]
+        return DecodeMeta(dec_h=c["dec_h"][i], dec_w=c["dec_w"][i],
+                          nt_h=c["nt_h"][i], nt_w=c["nt_w"][i],
+                          pixel_sha=c["pixel_sha"][i])
 
     kept = merge_cue_runs(views_f, get_meta, skip_merge=skip_merge,
                           force_merge_all=force_merge_all)
-    triples = [(ticks_to_ms(views_f[i].start_ticks),
-                ticks_to_ms(views_f[i].end_ticks),
-                cues_f[i]["text"]) for i in kept]
+    triples = [(ticks_to_ms(views_f[k].start_ticks),
+                ticks_to_ms(views_f[k].end_ticks),
+                c["text"][rows_f[k]]) for k in kept]
+    return serialize_srt(triples), len(triples)
+
+
+def assemble_bucket(group: pa.Table, *, skip_merge: bool = False,
+                    force_merge_all: bool = False) -> pa.Table:
+    """One hash-bucket of spans -> one docs row per url in the bucket."""
+    tbl = group.sort_by("url")
+    c = {name: tbl.column(name).to_pylist() for name in _COLS}
+    urls = c["url"]
+    out_url, out_text, out_n = [], [], []
+    start = 0
+    n = len(urls)
+    for i in range(1, n + 1):
+        if i == n or urls[i] != urls[start]:
+            text, n_cues = _assemble_one_url(c, start, i, skip_merge,
+                                             force_merge_all)
+            out_url.append(urls[start])
+            out_text.append(text)
+            out_n.append(n_cues)
+            start = i
     return pa.Table.from_pydict(
-        {"url": [url], "text": [serialize_srt(triples)],
-         "n_cues": [len(triples)]}, schema=DOCS_SCHEMA)
+        {"url": out_url, "text": out_text, "n_cues": out_n},
+        schema=DOCS_SCHEMA)
+
+
+def assemble_url_group(group: pa.Table, *, skip_merge: bool = False,
+                       force_merge_all: bool = False) -> pa.Table:
+    """One url's spans -> one (url, text, n_cues) row (single-group
+    convenience used by tests; same code path as assemble_bucket)."""
+    c = {name: group.column(name).to_pylist() for name in _COLS}
+    text, n_cues = _assemble_one_url(c, 0, group.num_rows, skip_merge,
+                                     force_merge_all)
+    return pa.Table.from_pydict(
+        {"url": [c["url"][0]], "text": [text], "n_cues": [n_cues]},
+        schema=DOCS_SCHEMA)

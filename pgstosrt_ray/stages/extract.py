@@ -19,12 +19,9 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
-from ..decode import PAD, decode_display_set, non_transparent_extents
-from ..format import build_palette_lut
-from ..glyph import ocr_bitmap
+from ..decode import cue_meta_and_text
 from ..parse import DisplaySet, OdsFrag, PcsObj
 
 PASSTHROUGH = ["url", "row_key", "warc_ts", "seq", "comp_num",
@@ -113,16 +110,11 @@ class ExtractorEngine:
                                 for k in range(len(bufs))],
                 palette_buffers=[palette_last[i]] if palette_last[i] else [],
             )
-            img = decode_display_set(ds, self._lut_cache)  # unpadded
-            h, w = non_transparent_extents(img)
-            # dims reported as content+PAD (see decode.decode_meta_of)
-            dec_h[i], dec_w[i] = img.shape[0] + PAD, img.shape[1] + PAD
-            nt_h[i], nt_w[i] = h, w
-            sha_v = hashlib.sha256(np.ascontiguousarray(img)
-                                   .tobytes()).digest()
+            meta, text_v = cue_meta_and_text(ds, self._lut_cache)
+            dec_h[i], dec_w[i] = meta.dec_h, meta.dec_w
+            nt_h[i], nt_w[i] = meta.nt_h, meta.nt_w
+            sha_v = meta.pixel_sha
             pixel_sha.append(sha_v)
-            # trim like the reference (PgsOcr.cs:122)
-            text_v = ocr_bitmap(img).strip()
             texts.append(text_v)
             if len(self._cache) >= self._cache_size:
                 self._cache.pop(next(iter(self._cache)))

@@ -5,8 +5,14 @@ import pytest
 
 from pgstosrt_ray import format as F
 from pgstosrt_ray import glyph
-from pgstosrt_ray.decode import (decode_display_set, decode_object_raw,
-                                 non_transparent_extents, _pad_canvas)
+from pgstosrt_ray.decode import (decode_display_set, decode_object_indexed,
+                                 non_transparent_extents, _pad_canvas,
+                                 rgba_of)
+
+
+def decode_object_raw(rle, width, height, lut):
+    idx, written = decode_object_indexed(rle, width, height)
+    return rgba_of(idx, written, lut)
 from pgstosrt_ray.fixtures import DEFAULT_PALETTE
 
 

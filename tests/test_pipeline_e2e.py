@@ -56,6 +56,18 @@ def test_lang_filter_pushdown(ray_session, tiny_dir):
     assert set(docs) == eng_urls
 
 
+def test_actor_mode_byte_identical(ray_session, tiny_dir):
+    """The warm actor-pool path (O1) must produce the same bytes as
+    the default task path."""
+    cfg = PipelineConfig(extract_mode="actors", extract_concurrency=2)
+    docs = _docs_map(extract_docs(read_pages(tiny_dir), cfg))
+    golden = read_golden(tiny_dir)
+    exp = {u: (t, n) for u, t, n in zip(golden.column("url").to_pylist(),
+                                        golden.column("text").to_pylist(),
+                                        golden.column("n_cues").to_pylist())}
+    assert docs == exp
+
+
 def test_skip_merge_config(ray_session, tiny_dir):
     cfg = PipelineConfig(skip_merge=True)
     docs = _docs_map(extract_docs(read_pages(tiny_dir), cfg))

@@ -9,7 +9,12 @@ from hypothesis import given, settings, strategies as st
 from pgstosrt_ray import format as F
 from pgstosrt_ray import fixtures as FX
 from pgstosrt_ray.glyph import GLYPH_ROWS, ocr_bitmap, render_text
-from pgstosrt_ray.decode import _pad_canvas, decode_object_raw
+from pgstosrt_ray.decode import _pad_canvas, decode_object_indexed, rgba_of
+
+
+def decode_object_raw(rle, width, height, lut):
+    idx, written = decode_object_indexed(rle, width, height)
+    return rgba_of(idx, written, lut)
 from pgstosrt_ray.oracle import extract_url, prepare_url_cues
 from pgstosrt_ray.parse import parse_payload
 
@@ -65,10 +70,9 @@ def test_random_url_invariants(seed):
     # merge idempotence: a second pass over the merged list changes
     # nothing (all adjacent duplicates already collapsed)
     from pgstosrt_ray.merge import cue_view_of, merge_cue_runs
-    from pgstosrt_ray.decode import decode_display_set, decode_meta_of
+    from pgstosrt_ray.decode import cue_meta_and_text
     views = [cue_view_of(c) for c in cues]
-    keep = merge_cue_runs(views, lambda i: decode_meta_of(
-        decode_display_set(cues[i])))
+    keep = merge_cue_runs(views, lambda i: cue_meta_and_text(cues[i])[0])
     # a kept-cue set from an already-merged list must keep everything
     # unless a *new* adjacency formed by merging qualifies; verify the
     # second pass is a fixpoint of the third
@@ -77,8 +81,7 @@ def test_random_url_invariants(seed):
     for i, k in enumerate(keep):
         views2[i].start_ticks = views[k].start_ticks
         views2[i].end_ticks = views[k].end_ticks
-    keep3 = merge_cue_runs(views2, lambda i: decode_meta_of(
-        decode_display_set(cues2[i])))
+    keep3 = merge_cue_runs(views2, lambda i: cue_meta_and_text(cues2[i])[0])
     assert keep3 == list(range(len(cues2))) or len(keep3) <= len(cues2)
 
 
