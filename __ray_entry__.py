@@ -50,14 +50,24 @@ def _extract_docs_nomerge(sf_dir: str):
 
 
 def _demux_cues(sf_dir: str):
+    import pyarrow as pa
     from pgstosrt_ray.sources.pages import read_pages
     from pgstosrt_ray.stages.demux import demux_batch
     ds = read_pages(_corpus_for(sf_dir))
     cues = ds.map_batches(demux_batch, batch_format="pyarrow", batch_size=32)
-    # driver-friendly projection (no nested binary columns)
-    return cues.select_columns(["url", "seq", "comp_num", "start_ticks",
-                                "end_ticks", "width", "height", "n_objects",
-                                "forced", "palette_count"])
+
+    def project(t: pa.Table) -> pa.Table:
+        # cue position = (min x, min y) over objects, (0,0) when empty
+        # (SURVEY M19, reference GetPosition :695-698)
+        pos_x = [min(xs) if xs else 0 for xs in t.column("obj_x").to_pylist()]
+        pos_y = [min(ys) if ys else 0 for ys in t.column("obj_y").to_pylist()]
+        out = t.select(["url", "seq", "comp_num", "start_ticks",
+                        "end_ticks", "width", "height", "n_objects",
+                        "forced", "palette_count"])
+        out = out.append_column("pos_x", pa.array(pos_x, pa.int32()))
+        return out.append_column("pos_y", pa.array(pos_y, pa.int32()))
+
+    return cues.map_batches(project, batch_format="pyarrow")
 
 
 def _media_features(sf_dir: str):

@@ -126,7 +126,6 @@ def extract_corpus_docs(corpus: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 
 def docs_to_table(docs_ds) -> pa.Table:
-    """Materialize a (small) docs Dataset to one sorted Arrow table."""
-    tbl = pa.concat_tables([pa.Table.from_pandas(df) for df in
-                            [docs_ds.to_pandas()]])
-    return tbl.sort_by("url")
+    """Materialize a (small) docs Dataset to one url-sorted Arrow table."""
+    return pa.Table.from_pandas(docs_ds.to_pandas(),
+                                preserve_index=False).sort_by("url")
