@@ -354,18 +354,48 @@ def random_payload_rows(rng: random.Random, url_idx: int,
     return rows
 
 
+def _url_rng(seed: int, i: int, profile: str) -> random.Random:
+    """Per-url RNG: stable string seeding (sha512-based in CPython,
+    independent of PYTHONHASHSEED and of n_urls), so url i's payloads
+    are identical whether the corpus is built serially or in parallel
+    and whatever its total size."""
+    return random.Random(f"{seed}:{i}:{profile}")
+
+
+def _build_one_url(args) -> tuple[str, list[tuple[int, bytes]], str, int]:
+    seed, i, profile = args
+    rng = _url_rng(seed, i, profile)
+    rows = random_payload_rows(rng, i, profile=profile)
+    from .oracle import extract_url
+    text, n_cues = extract_url(rows)
+    return f"https://example.org/{seed}/{i}", rows, text, n_cues
+
+
 def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
-                 heavy: bool = False,
-                 profile: str | None = None) -> tuple[pa.Table, pa.Table]:
-    """(pages, golden) tables. Deterministic in (n_urls, seed, profile)."""
-    rng = random.Random(seed)
+                 heavy: bool = False, profile: str | None = None,
+                 workers: int | None = None) -> tuple[pa.Table, pa.Table]:
+    """(pages, golden) tables. Deterministic in (n_urls, seed, profile)
+    regardless of ``workers`` (per-url seeding)."""
+    profile = profile or ("heavy" if heavy else "default")
     urls: dict[str, list[tuple[int, bytes]]] = {}
+    golden: dict[str, tuple[str, int]] = {}
     if include_tiny:
-        urls.update(tiny_corpus_payloads())
-    for i in range(n_urls):
-        urls[f"https://example.org/{seed}/{i}"] = random_payload_rows(
-            rng, i, heavy=heavy, profile=profile)
-    golden = extract_corpus(urls)
+        tiny = tiny_corpus_payloads()
+        urls.update(tiny)
+        golden.update(extract_corpus(tiny))
+    args = [(seed, i, profile) for i in range(n_urls)]
+    if workers is None:
+        import os
+        workers = min(16, os.cpu_count() or 1) if n_urls >= 200 else 1
+    if workers > 1:
+        import multiprocessing as mp
+        with mp.Pool(workers) as pool:
+            results = pool.map(_build_one_url, args, chunksize=32)
+    else:
+        results = [_build_one_url(a) for a in args]
+    for url, rows, text, n_cues in results:
+        urls[url] = rows
+        golden[url] = (text, n_cues)
     u_col, ts_col, html_col, text_col, lang_col = [], [], [], [], []
     g_url, g_text, g_n = [], [], []
     lang_rng = random.Random(seed + 1)
