@@ -187,49 +187,15 @@ def parse_segment_stream(data: bytes, *, mkv_headers: bool = False,
         if body_start + seg_size > n:
             break  # truncated payload: stop cleanly (reference :275-282)
         buf = data[body_start:body_start + seg_size]
-        if seg_type == F.SEG_PDS:
-            if open_ds is not None:
-                pds = _parse_pds_payload(buf, seg_size)
-                if pds is not None:
-                    pal_id, _ver, entries = pds
-                    if pal_id not in palettes:
-                        palettes[pal_id] = []
-                    elif open_ds.palette_update:
-                        # replace last version on palette update (:292-296)
-                        palettes[pal_id].pop()
-                    palettes[pal_id].append(entries)
-        elif seg_type == F.SEG_ODS:
-            if open_ds is not None:
-                ods = _parse_ods_payload(buf, seg_size, force_first)
-                if not open_ds.palette_update:
-                    if ods.is_first:
-                        bitmap_objects[ods.object_id] = [ods]
-                    elif ods.object_id in bitmap_objects:
-                        bitmap_objects[ods.object_id].append(ods)
-                force_first = False
-        elif seg_type == F.SEG_PCS:
-            if open_ds is not None and _complete_pcs(
-                    open_ds, bitmap_objects,
-                    palettes if palettes else last_palettes):
-                out.append(open_ds)
-            force_first = True
-            ds = _parse_pcs_payload(buf, pts)
-            # close the previous cue with this start time (:333-334)
-            if ds.start_ticks > 0 and out and out[-1].end_ticks == 0:
-                out[-1].end_ticks = ds.start_ticks
-            open_ds = ds
-            if open_ds.comp_state == F.STATE_EPOCH_START:
-                bitmap_objects.clear()
-                palettes.clear()
-        elif seg_type == F.SEG_WDS:
-            pass  # window geometry is log-only in the reference (:344-363)
-        elif seg_type == F.SEG_END:
-            force_first = True
-            if open_ds is not None:
-                if _complete_pcs(open_ds, bitmap_objects,
-                                 palettes if palettes else last_palettes):
-                    out.append(open_ds)
-                open_ds = None
+        try:
+            open_ds, force_first = _process_segment(
+                seg_type, buf, seg_size, pts, open_ds, force_first, out,
+                palettes, last_palettes, bitmap_objects)
+        except IndexError:
+            # malformed segment body: skip it and keep walking, like
+            # the reference's per-segment IndexOutOfRange catch
+            # (:380-383 logs and continues)
+            pass
         pos = body_start + seg_size
     # tail flush (:389-390)
     if open_ds is not None and _complete_pcs(
@@ -240,6 +206,56 @@ def parse_segment_stream(data: bytes, *, mkv_headers: bool = False,
         last_palettes.clear()
         last_palettes.update(palettes)
     return out
+
+
+def _process_segment(seg_type, buf, seg_size, pts, open_ds, force_first,
+                     out, palettes, last_palettes, bitmap_objects):
+    """One arm of the segment switch (reference :284-375). Returns the
+    updated (open_ds, force_first)."""
+    if seg_type == F.SEG_PDS:
+        if open_ds is not None:
+            pds = _parse_pds_payload(buf, seg_size)
+            if pds is not None:
+                pal_id, _ver, entries = pds
+                if pal_id not in palettes:
+                    palettes[pal_id] = []
+                elif open_ds.palette_update:
+                    # replace last version on palette update (:292-296)
+                    palettes[pal_id].pop()
+                palettes[pal_id].append(entries)
+    elif seg_type == F.SEG_ODS:
+        if open_ds is not None:
+            ods = _parse_ods_payload(buf, seg_size, force_first)
+            if not open_ds.palette_update:
+                if ods.is_first:
+                    bitmap_objects[ods.object_id] = [ods]
+                elif ods.object_id in bitmap_objects:
+                    bitmap_objects[ods.object_id].append(ods)
+            force_first = False
+    elif seg_type == F.SEG_PCS:
+        if open_ds is not None and _complete_pcs(
+                open_ds, bitmap_objects,
+                palettes if palettes else last_palettes):
+            out.append(open_ds)
+        force_first = True
+        ds = _parse_pcs_payload(buf, pts)
+        # close the previous cue with this start time (:333-334)
+        if ds.start_ticks > 0 and out and out[-1].end_ticks == 0:
+            out[-1].end_ticks = ds.start_ticks
+        open_ds = ds
+        if open_ds.comp_state == F.STATE_EPOCH_START:
+            bitmap_objects.clear()
+            palettes.clear()
+    elif seg_type == F.SEG_WDS:
+        pass  # window geometry is log-only in the reference (:344-363)
+    elif seg_type == F.SEG_END:
+        force_first = True
+        if open_ds is not None:
+            if _complete_pcs(open_ds, bitmap_objects,
+                             palettes if palettes else last_palettes):
+                out.append(open_ds)
+            open_ds = None
+    return open_ds, force_first
 
 
 def _contains_start_segment(data: bytes) -> bool:

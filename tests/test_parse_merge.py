@@ -185,3 +185,26 @@ class TestMergeDecisionTable:
         views = self._three_groups()
         keep = merge_cue_runs(views, lambda i: _meta(), force_merge_all=True)
         assert len(keep) == 6
+
+
+class TestMalformedSegments:
+    def test_pcs_claims_more_objects_than_bytes(self):
+        # PCS body with object count 5 but bytes for none: the segment
+        # is skipped like the reference's IndexOutOfRange catch
+        # (:380-383) and the stream keeps parsing
+        bad_pcs = F.encode_pcs_payload(1920, 1080, 0x10, 1, F.STATE_NORMAL,
+                                       False, 0, [])[:11]
+        bad_pcs = bad_pcs[:10] + bytes([5])  # count=5, no entries
+        payload = (F.encode_sup_segment(F.SEG_PCS, 100, bad_pcs)
+                   + FX.sup_payload([FX.text_ds("ok", FX.TICK),
+                                     FX.clear_ds(2 * FX.TICK)]))
+        sets = parse_payload(payload)
+        assert [d.comp_num for d in sets if d.objects] == [0]
+
+    def test_short_ods_body_skipped(self):
+        good = FX.sup_payload([FX.text_ds("ok", FX.TICK)])
+        bad_ods = F.encode_sup_segment(F.SEG_ODS, 0, b"\x00\x01\x00\x80")
+        trailer = FX.sup_payload([FX.clear_ds(2 * FX.TICK)])
+        sets = parse_payload(good[:-16] + bad_ods + good[-16:] + trailer)
+        # stream survives; the well-formed cue still extracts
+        assert any(d.objects for d in sets)
