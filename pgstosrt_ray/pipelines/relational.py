@@ -317,6 +317,86 @@ SQL_EXACT_DEDUP = (
     "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)")
 
 
+# --- semi / anti join: broadcast key set + map-side filter -------------
+def _order_custkeys(sf_dir: str):
+    import ray
+    keys = set(_read(sf_dir, "orders", columns=["o_custkey"])
+               .to_pandas()["o_custkey"])
+    return ray.put(keys)
+
+
+def q_semi_join(sf_dir: str):
+    import ray
+    ref = _order_custkeys(sf_dir)
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = [k in keys for k in t.column("c_custkey").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+SQL_SEMI_JOIN = ("SELECT c_custkey, c_name FROM customer "
+                 "WHERE c_custkey IN (SELECT o_custkey FROM orders)")
+
+
+def q_anti_join(sf_dir: str):
+    """Orders with no lineitems (non-empty at every sf)."""
+    import ray
+    keys = set(_read(sf_dir, "lineitem", columns=["l_orderkey"])
+               .to_pandas()["l_orderkey"])
+    ref = ray.put(keys)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def drop(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = [k not in ks for k in t.column("o_orderkey").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+SQL_ANTI_JOIN = ("SELECT o_orderkey, o_orderstatus FROM orders "
+                 "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)")
+
+
+# --- as-of join (SURVEY "custom operators": groupby + in-group ordered
+# scan; the running most-recent-purchase timestamp per user) -------------
+def q_asof_join(sf_dir: str):
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        purchases = g["ts"].where(g["event_type"] == "purchase")
+        # cummax leaves NaT at non-purchase rows; forward-fill carries
+        # the running max (matches the SQL window MAX over NULL-skipped
+        # rows); leading rows before any purchase stay NaT/NULL
+        g["last_purchase_ts"] = purchases.cummax().ffill()
+        return g[["event_id", "user_id", "ts", "last_purchase_ts"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+SQL_ASOF_JOIN = (
+    "SELECT event_id, user_id, ts, "
+    "MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS last_purchase_ts FROM events")
+
+
+# --- set op: union all ---------------------------------------------------
+def q_union_all(sf_dir: str):
+    r = _read(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    n = _read(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    return r.union(n)
+
+SQL_UNION_ALL = ("SELECT r_name AS name FROM region "
+                 "UNION ALL SELECT n_name AS name FROM nation")
+
+
 # --- streaming-shaped: session windows (SURVEY §2.9; ray_guide
 # "Streaming-shaped workloads": ordered, partitioned log + map_groups)
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -403,6 +483,10 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "bpe_token_count": q_bpe_token_count,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "asof_join": q_asof_join,
+    "union_all": q_union_all,
 }
 
 ORACLE_SQL = {
@@ -423,4 +507,8 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "union_all": SQL_UNION_ALL,
 }
