@@ -387,7 +387,28 @@ def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
     if workers is None:
         import os
         workers = min(16, os.cpu_count() or 1) if n_urls >= 200 else 1
-    if workers > 1:
+    results: list
+    try:
+        import ray
+        ray_live = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        ray_live = False
+    if workers > 1 and ray_live:
+        # inside a live Ray session (e.g. the driver's first queries()
+        # call): parallelize with Ray tasks — forking a process with
+        # live grpc threads can deadlock, and spawn needs an importable
+        # __main__
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _gen_chunk(chunk):
+            return [_build_one_url(a) for a in chunk]
+
+        chunks = [args[i::workers] for i in range(workers)]
+        results = [r for part in ray.get(
+            [_gen_chunk.remote(c) for c in chunks if c]) for r in part]
+        results.sort(key=lambda r: int(r[0].rsplit("/", 1)[1]))
+    elif workers > 1:
         import multiprocessing as mp
         with mp.Pool(workers) as pool:
             results = pool.map(_build_one_url, args, chunksize=32)
