@@ -104,10 +104,13 @@ def q_groupby_agg(sf_dir: str):
         Sum("n_rows", alias_name="n_rows"))
     return out
 
+# NOTE: DuckDB widens SUM(BIGINT) to HUGEINT (arrow decimal128(38,0));
+# the outer CAST keeps the oracle's arrow schema at int64 like the Ray side.
 SQL_GROUPBY_AGG = (
     "SELECT l_returnflag, l_linestatus, "
-    "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_price_cents, "
     "COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus")
 
 
@@ -148,7 +151,8 @@ def q_hash_join(sf_dir: str):
 
 SQL_HASH_JOIN = (
     "SELECT o_orderstatus, "
-    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_price_cents "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "GROUP BY o_orderstatus")
 
@@ -429,8 +433,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, event_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -459,7 +463,8 @@ def q_tumbling_window(sf_dir: str):
 
 SQL_TUMBLING_WINDOW = (
     "SELECT user_id, date_trunc('hour', ts) AS window_start, "
-    "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) "
+    "AS sum_value_milli, "
     "COUNT(*) AS n_events FROM events "
     "GROUP BY user_id, date_trunc('hour', ts)")
 

@@ -27,20 +27,41 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _to_df(result) -> pd.DataFrame:
+def _to_arrow(result):
     import pyarrow as pa
     import ray.data
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        refs = result.to_arrow_refs()
+        import ray
+        return pa.concat_tables([t for t in ray.get(refs) if t.num_rows > 0]
+                                or [ray.get(refs[0])])
     if isinstance(result, pa.Table):
-        return result.to_pandas()
-    return result
+        return result
+    return pa.Table.from_pandas(result, preserve_index=False)
+
+
+def _type_tag(t) -> str:
+    """Normalize benign type differences (timestamp unit, string width)
+    while keeping the driver-breaking ones (decimal128 vs int64)."""
+    import pyarrow as pa
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return str(t)
 
 
 @pytest.mark.parametrize("name", sorted(relational.ORACLE_SQL))
 def test_query_matches_oracle(ray_session, con, name):
-    ours = _normalize(_to_df(relational.QUERIES[name](SF_DIR)))
-    theirs = _normalize(con.sql(relational.ORACLE_SQL[name]).df())
+    ours_t = _to_arrow(relational.QUERIES[name](SF_DIR))
+    theirs_t = con.sql(relational.ORACLE_SQL[name]).arrow()
+    # driver-strict: arrow value types must agree (DuckDB HUGEINT ->
+    # decimal128(38,0) vs int64 broke 4 queries in round 1)
+    ours_types = {f.name: _type_tag(f.type) for f in ours_t.schema}
+    theirs_types = {f.name: _type_tag(f.type) for f in theirs_t.schema}
+    assert ours_types == theirs_types
+    ours = _normalize(ours_t.to_pandas())
+    theirs = _normalize(theirs_t.to_pandas())
     assert len(ours) == len(theirs), f"row count {len(ours)} != {len(theirs)}"
     assert list(ours.columns) == list(theirs.columns)
     pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
