@@ -123,10 +123,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+# language-ID / quality-score oracles: exact SQL re-expressions of
+# functions/text.py lang_id and quality_score (same regexes, same
+# float op order; integer-exact 'zh' threshold: cjk/n > 0.2 == 5*cjk > n)
+_STOP_EN = r"\b(?:a|and|in|is|it|of|that|the|to|you)\b"
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '[一-鿿぀-ヿ]')) AS cjk,
+    GREATEST(length(text), 1) AS n,
+    length(regexp_extract_all(lower(text), '{_STOP_EN}')) AS s_en,
+    length(regexp_extract_all(lower(text),
+      '\\b(?:de|el|en|la|los|no|que|se|un|y)\\b')) AS s_es,
+    length(regexp_extract_all(lower(text),
+      '\\b(?:de|des|du|en|et|la|le|les|que|un)\\b')) AS s_fr,
+    length(regexp_extract_all(lower(text),
+      '\\b(?:das|den|der|die|ein|ist|mit|und|von|zu)\\b')) AS s_de
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN cjk * 5 > n THEN 'zh'
+       WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       WHEN s_fr >= s_de THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+SQL_QUALITY_SCORE = f"""
+WITH q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+    length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '{_STOP_EN}')) AS n_stopwords
+  FROM documents)
+SELECT doc_id,
+  CAST(0.25 AS DOUBLE)
+    * (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+  + CAST(0.35 AS DOUBLE) * (n_alpha / GREATEST(n_chars, 1))
+  + CAST(0.2 AS DOUBLE)
+    * (CAST(1.0 AS DOUBLE)
+       - LEAST(n_punct / GREATEST(n_chars, 1), CAST(0.5 AS DOUBLE))
+         * CAST(2.0 AS DOUBLE))
+  + CAST(0.2 AS DOUBLE)
+    * (LEAST(n_stopwords / GREATEST(n_tokens, 1), CAST(0.5 AS DOUBLE))
+       * CAST(2.0 AS DOUBLE)) AS quality
+FROM q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from pgstosrt_ray.pipelines import dedupe, relational, similarity
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     out.update(dedupe.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
+    out["lang_id"] = SQL_LANG_ID
+    out["quality_score"] = SQL_QUALITY_SCORE
+    # flagship oracles: the deterministic golden parquet written by the
+    # single-threaded oracle at corpus materialization (driver compares
+    # at sf0.01; _corpus_for also ensures the files exist)
+    corpus = _corpus_for("/root/testdata/sf0.01")
+    out["extract_docs"] = ("SELECT url, text, n_cues FROM "
+                           f"read_parquet('{corpus}/golden.parquet')")
+    out["extract_docs_nomerge"] = (
+        "SELECT url, text, n_cues FROM "
+        f"read_parquet('{corpus}/golden_nomerge.parquet')")
+    out["demux_cues"] = ("SELECT * FROM "
+                         f"read_parquet('{corpus}/golden_cues.parquet')")
     return out

@@ -295,6 +295,13 @@ def tiny_corpus_payloads() -> dict[str, list[tuple[int, bytes]]]:
         (t0 + 20, sup_payload([text_ds("tie A", TICK), clear_ds(2 * TICK)])),
         (t0 + 20, sup_payload([text_ds("tie B", 3 * TICK), clear_ds(4 * TICK)])),
     ]
+    # all-unparseable url: every payload yields zero display sets; the
+    # pipeline must still emit (url, "", 0) like the oracle (demux
+    # sentinel row) rather than dropping the url
+    urls["https://example.org/t/garbage/18"] = [
+        (t0 + 22, b"<html><body>not a segment stream at all</body></html>"),
+        (t0 + 23, b"PG\x00\x01"),  # magic only, truncated header
+    ]
     return urls
 
 
@@ -362,27 +369,51 @@ def _url_rng(seed: int, i: int, profile: str) -> random.Random:
     return random.Random(f"{seed}:{i}:{profile}")
 
 
-def _build_one_url(args) -> tuple[str, list[tuple[int, bytes]], str, int]:
+def _build_one_url(args):
+    """-> (url, rows, (text, n_cues), (text_nomerge, n_cues_nomerge),
+    demux-meta rows). The two extract variants and the cue-level golden
+    are computed here so corpus build parallelism covers them too."""
     seed, i, profile = args
     rng = _url_rng(seed, i, profile)
     rows = random_payload_rows(rng, i, profile=profile)
-    from .oracle import extract_url
-    text, n_cues = extract_url(rows)
-    return f"https://example.org/{seed}/{i}", rows, text, n_cues
+    from .oracle import demux_meta_rows, extract_url
+    url = f"https://example.org/{seed}/{i}"
+    return (url, rows, extract_url(rows), extract_url(rows, skip_merge=True),
+            demux_meta_rows(url, rows))
 
 
-def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
-                 heavy: bool = False, profile: str | None = None,
-                 workers: int | None = None) -> tuple[pa.Table, pa.Table]:
-    """(pages, golden) tables. Deterministic in (n_urls, seed, profile)
-    regardless of ``workers`` (per-url seeding)."""
+CUES_GOLDEN_SCHEMA = pa.schema([
+    ("url", pa.string()), ("seq", pa.int32()), ("comp_num", pa.int32()),
+    ("start_ticks", pa.int64()), ("end_ticks", pa.int64()),
+    ("width", pa.int32()), ("height", pa.int32()),
+    ("n_objects", pa.int32()), ("forced", pa.bool_()),
+    ("palette_count", pa.int32()),
+    ("pos_x", pa.int32()), ("pos_y", pa.int32()),
+])
+
+
+def build_corpus_full(n_urls: int, seed: int = 42,
+                      include_tiny: bool = True, heavy: bool = False,
+                      profile: str | None = None,
+                      workers: int | None = None) -> dict[str, pa.Table]:
+    """{"pages", "golden", "golden_nomerge", "golden_cues"} tables.
+    Deterministic in (n_urls, seed, profile) regardless of ``workers``
+    (per-url seeding). golden_nomerge is the skip-merge extract variant;
+    golden_cues is the demux-level per-display-set metadata (sentinel
+    seq=-1 rows for unparseable payloads)."""
     profile = profile or ("heavy" if heavy else "default")
     urls: dict[str, list[tuple[int, bytes]]] = {}
     golden: dict[str, tuple[str, int]] = {}
+    golden_nm: dict[str, tuple[str, int]] = {}
+    cue_rows: dict[str, list[dict]] = {}
     if include_tiny:
+        from .oracle import demux_meta_rows
         tiny = tiny_corpus_payloads()
         urls.update(tiny)
         golden.update(extract_corpus(tiny))
+        golden_nm.update(extract_corpus(tiny, skip_merge=True))
+        for url, rows in tiny.items():
+            cue_rows[url] = demux_meta_rows(url, rows)
     args = [(seed, i, profile) for i in range(n_urls)]
     if workers is None:
         import os
@@ -414,11 +445,15 @@ def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
             results = pool.map(_build_one_url, args, chunksize=32)
     else:
         results = [_build_one_url(a) for a in args]
-    for url, rows, text, n_cues in results:
+    for url, rows, merged, nomerge, cues in results:
         urls[url] = rows
-        golden[url] = (text, n_cues)
+        golden[url] = merged
+        golden_nm[url] = nomerge
+        cue_rows[url] = cues
     u_col, ts_col, html_col, text_col, lang_col = [], [], [], [], []
     g_url, g_text, g_n = [], [], []
+    nm_text, nm_n = [], []
+    all_cues: list[dict] = []
     lang_rng = random.Random(seed + 1)
     for url in urls:
         lang = lang_rng.choice(_LANGS)
@@ -432,6 +467,9 @@ def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
         g_url.append(url)
         g_text.append(doc_text)
         g_n.append(n_cues)
+        nm_text.append(golden_nm[url][0])
+        nm_n.append(golden_nm[url][1])
+        all_cues.extend(cue_rows[url])
     pages = pa.table({
         "url": pa.array(u_col, pa.string()),
         "warc_ts": pa.array(ts_col, pa.timestamp("us")),
@@ -444,7 +482,24 @@ def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
         "text": pa.array(g_text, pa.string()),
         "n_cues": pa.array(g_n, pa.int32()),
     })
-    return pages, golden_t
+    golden_nm_t = pa.table({
+        "url": pa.array(g_url, pa.string()),
+        "text": pa.array(nm_text, pa.string()),
+        "n_cues": pa.array(nm_n, pa.int32()),
+    })
+    cues_t = pa.Table.from_pylist(all_cues, schema=CUES_GOLDEN_SCHEMA)
+    return {"pages": pages, "golden": golden_t,
+            "golden_nomerge": golden_nm_t, "golden_cues": cues_t}
+
+
+def build_corpus(n_urls: int, seed: int = 42, include_tiny: bool = True,
+                 heavy: bool = False, profile: str | None = None,
+                 workers: int | None = None) -> tuple[pa.Table, pa.Table]:
+    """(pages, golden) — the classic two-table view of
+    ``build_corpus_full``."""
+    full = build_corpus_full(n_urls, seed=seed, include_tiny=include_tiny,
+                             heavy=heavy, profile=profile, workers=workers)
+    return full["pages"], full["golden"]
 
 
 def build_tiny() -> tuple[pa.Table, pa.Table]:

@@ -39,7 +39,8 @@ def row_sort_key(warc_ts: int, html: bytes) -> tuple[int, bytes]:
     return (warc_ts, hashlib.sha256(html).digest())
 
 
-def prepare_url_cues(rows: list[tuple[int, bytes]]) -> list[DisplaySet]:
+def prepare_url_cues(rows: list[tuple[int, bytes]],
+                     skip_merge: bool = False) -> list[DisplaySet]:
     """Steps 1-3 above: rows (warc_ts, html) -> merged, filled, filtered,
     reassembled cue list for one url."""
     keyed = {}
@@ -60,7 +61,7 @@ def prepare_url_cues(rows: list[tuple[int, bytes]]) -> list[DisplaySet]:
             meta_cache[i] = cue_meta_and_text(cues[i])[0]
         return meta_cache[i]
 
-    keep = merge_cue_runs(views, get_meta)
+    keep = merge_cue_runs(views, get_meta, skip_merge=skip_merge)
     survivors = []
     for i in keep:
         c = cues[i]
@@ -70,11 +71,12 @@ def prepare_url_cues(rows: list[tuple[int, bytes]]) -> list[DisplaySet]:
     return survivors
 
 
-def extract_url(rows: list[tuple[int, bytes]]) -> tuple[str, int]:
+def extract_url(rows: list[tuple[int, bytes]],
+                skip_merge: bool = False) -> tuple[str, int]:
     """Full oracle: rows of one url -> (srt_text, n_cues). Decode+OCR
     goes through the SAME cue_meta_and_text kernel the Ray extract
     stage uses (trim included, PgsOcr.cs:122)."""
-    cues = prepare_url_cues(rows)
+    cues = prepare_url_cues(rows, skip_merge=skip_merge)
     triples = []
     for c in cues:
         _meta, text = cue_meta_and_text(c)
@@ -83,6 +85,37 @@ def extract_url(rows: list[tuple[int, bytes]]) -> tuple[str, int]:
     return serialize_srt(triples), len(triples)
 
 
-def extract_corpus(urls: dict[str, list[tuple[int, bytes]]]) -> dict[str, tuple[str, int]]:
+def extract_corpus(urls: dict[str, list[tuple[int, bytes]]],
+                   skip_merge: bool = False) -> dict[str, tuple[str, int]]:
     """Oracle over a whole corpus: url -> (srt_text, n_cues)."""
-    return {url: extract_url(rows) for url, rows in urls.items()}
+    return {url: extract_url(rows, skip_merge=skip_merge)
+            for url, rows in urls.items()}
+
+
+def demux_meta_rows(url: str,
+                    rows: list[tuple[int, bytes]]) -> list[dict]:
+    """Golden cue-level metadata for one url, mirroring the demux
+    stage's per-pages-row projection (stages/demux.py + the driver's
+    ``demux_cues`` view): one output row per parsed display set, in
+    pages-row order, NO dedup/fill/merge; a pages row whose payload
+    yields zero display sets emits one sentinel row (seq=-1) so the
+    url never vanishes from downstream outputs."""
+    out: list[dict] = []
+    for _warc_ts, html in rows:
+        sets = parse_payload(html)
+        if not sets:
+            out.append({"url": url, "seq": -1, "comp_num": 0,
+                        "start_ticks": 0, "end_ticks": 0, "width": 0,
+                        "height": 0, "n_objects": 0, "forced": False,
+                        "palette_count": 0, "pos_x": 0, "pos_y": 0})
+            continue
+        for seq, ds in enumerate(sets):
+            pos_x, pos_y = ds.position()
+            out.append({"url": url, "seq": seq, "comp_num": ds.comp_num,
+                        "start_ticks": ds.start_ticks,
+                        "end_ticks": ds.end_ticks, "width": ds.width,
+                        "height": ds.height, "n_objects": len(ds.objects),
+                        "forced": ds.is_forced,
+                        "palette_count": len(ds.palette_buffers),
+                        "pos_x": pos_x, "pos_y": pos_y})
+    return out

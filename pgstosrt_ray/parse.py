@@ -166,9 +166,12 @@ def parse_segment_stream(data: bytes, *, mkv_headers: bool = False,
     if bitmap_objects is None:
         bitmap_objects = {}
     palettes: dict[int, list[bytes]] = {}
-    force_first = True
+    # walker state is a mutable dict so mutations made BEFORE a
+    # throw-capable body parse survive the per-segment catch, exactly
+    # like the reference's locals inside its try block (:329-331 sets
+    # forceFirst=true before ParsePicture; :365 before CompletePcs)
+    st: dict = {"open": None, "force_first": True}
     out: list[DisplaySet] = []
-    open_ds: DisplaySet | None = None
     hdr_len = 3 if mkv_headers else 13
     pos = 0
     n = len(data)
@@ -188,15 +191,16 @@ def parse_segment_stream(data: bytes, *, mkv_headers: bool = False,
             break  # truncated payload: stop cleanly (reference :275-282)
         buf = data[body_start:body_start + seg_size]
         try:
-            open_ds, force_first = _process_segment(
-                seg_type, buf, seg_size, pts, open_ds, force_first, out,
-                palettes, last_palettes, bitmap_objects)
+            _process_segment(seg_type, buf, seg_size, pts, st, out,
+                             palettes, last_palettes, bitmap_objects)
         except IndexError:
             # malformed segment body: skip it and keep walking, like
             # the reference's per-segment IndexOutOfRange catch
-            # (:380-383 logs and continues)
+            # (:380-383 logs and continues); state mutations made
+            # before the throw (force_first, completed appends) stand
             pass
         pos = body_start + seg_size
+    open_ds = st["open"]
     # tail flush (:389-390)
     if open_ds is not None and _complete_pcs(
             open_ds, bitmap_objects, palettes if palettes else last_palettes):
@@ -208,10 +212,12 @@ def parse_segment_stream(data: bytes, *, mkv_headers: bool = False,
     return out
 
 
-def _process_segment(seg_type, buf, seg_size, pts, open_ds, force_first,
+def _process_segment(seg_type, buf, seg_size, pts, st,
                      out, palettes, last_palettes, bitmap_objects):
-    """One arm of the segment switch (reference :284-375). Returns the
-    updated (open_ds, force_first)."""
+    """One arm of the segment switch (reference :284-375). Mutates the
+    walker state ``st`` ({"open", "force_first"}) in place so partial
+    mutations survive a mid-arm IndexError like the reference's."""
+    open_ds = st["open"]
     if seg_type == F.SEG_PDS:
         if open_ds is not None:
             pds = _parse_pds_payload(buf, seg_size)
@@ -225,37 +231,40 @@ def _process_segment(seg_type, buf, seg_size, pts, open_ds, force_first,
                 palettes[pal_id].append(entries)
     elif seg_type == F.SEG_ODS:
         if open_ds is not None:
-            ods = _parse_ods_payload(buf, seg_size, force_first)
+            ods = _parse_ods_payload(buf, seg_size, st["force_first"])
             if not open_ds.palette_update:
                 if ods.is_first:
                     bitmap_objects[ods.object_id] = [ods]
                 elif ods.object_id in bitmap_objects:
                     bitmap_objects[ods.object_id].append(ods)
-            force_first = False
+            # reached only when ParseOds did not throw (:323)
+            st["force_first"] = False
     elif seg_type == F.SEG_PCS:
         if open_ds is not None and _complete_pcs(
                 open_ds, bitmap_objects,
                 palettes if palettes else last_palettes):
             out.append(open_ds)
-        force_first = True
+        # set BEFORE the throw-capable PCS body parse and kept on throw
+        # (reference :329-331: forceFirst = true; ... ParsePicture)
+        st["force_first"] = True
         ds = _parse_pcs_payload(buf, pts)
         # close the previous cue with this start time (:333-334)
         if ds.start_ticks > 0 and out and out[-1].end_ticks == 0:
             out[-1].end_ticks = ds.start_ticks
-        open_ds = ds
-        if open_ds.comp_state == F.STATE_EPOCH_START:
+        st["open"] = ds
+        if ds.comp_state == F.STATE_EPOCH_START:
             bitmap_objects.clear()
             palettes.clear()
     elif seg_type == F.SEG_WDS:
         pass  # window geometry is log-only in the reference (:344-363)
     elif seg_type == F.SEG_END:
-        force_first = True
+        # BEFORE the throw-capable CompletePcs (reference :365)
+        st["force_first"] = True
         if open_ds is not None:
             if _complete_pcs(open_ds, bitmap_objects,
                              palettes if palettes else last_palettes):
                 out.append(open_ds)
-            open_ds = None
-    return open_ds, force_first
+            st["open"] = None
 
 
 def _contains_start_segment(data: bytes) -> bool:

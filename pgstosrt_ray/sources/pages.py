@@ -30,16 +30,21 @@ def materialize_corpus(name: str, n_urls: int, seed: int = 42,
     """Write (pages, golden) parquet for a corpus; idempotent via a
     _SUCCESS marker. Returns the corpus directory; pages live under
     ``<dir>/pages/part-*.parquet``, golden at ``<dir>/golden.parquet``."""
-    from ..fixtures import build_corpus
+    from ..fixtures import build_corpus_full
     out = corpus_dir(name, n_urls, seed, heavy, profile)
-    marker = os.path.join(out, "_SUCCESS")
+    # v2 marker: corpora cached before golden_nomerge/golden_cues (and
+    # the tiny-corpus garbage url) existed regenerate in place
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
-    pages, golden = build_corpus(n_urls, seed=seed,
-                                 include_tiny=include_tiny, heavy=heavy,
-                                 profile=profile)
+    full = build_corpus_full(n_urls, seed=seed,
+                             include_tiny=include_tiny, heavy=heavy,
+                             profile=profile)
+    pages = full["pages"]
     pages_dir = os.path.join(out, "pages")
     os.makedirs(pages_dir, exist_ok=True)
+    for stale in os.listdir(pages_dir):
+        os.unlink(os.path.join(pages_dir, stale))
     n = pages.num_rows
     files = max(1, min(files, n))
     step = (n + files - 1) // files
@@ -47,7 +52,11 @@ def materialize_corpus(name: str, n_urls: int, seed: int = 42,
         chunk = pages.slice(i * step, step)
         if chunk.num_rows:
             pq.write_table(chunk, os.path.join(pages_dir, f"part-{i:05d}.parquet"))
-    pq.write_table(golden, os.path.join(out, "golden.parquet"))
+    pq.write_table(full["golden"], os.path.join(out, "golden.parquet"))
+    pq.write_table(full["golden_nomerge"],
+                   os.path.join(out, "golden_nomerge.parquet"))
+    pq.write_table(full["golden_cues"],
+                   os.path.join(out, "golden_cues.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out
@@ -72,5 +81,7 @@ def read_pages(corpus: str, *, lang: str | None = None,
                                  columns=columns, **kwargs)
 
 
-def read_golden(corpus: str) -> pa.Table:
-    return pq.read_table(os.path.join(corpus, "golden.parquet"))
+def read_golden(corpus: str, variant: str = "") -> pa.Table:
+    """variant: "" (merged docs), "nomerge", or "cues"."""
+    name = f"golden_{variant}.parquet" if variant else "golden.parquet"
+    return pq.read_table(os.path.join(corpus, name))

@@ -44,6 +44,9 @@ def _assemble_one_url(c: dict, lo: int, hi: int, skip_merge: bool,
     rows = []
     seen = set()
     for i in order:
+        if c["seq"][i] < 0:
+            continue  # sentinel (all-unparseable payload): anchors the
+            #           url in this group but carries no cue
         k = (c["warc_ts"][i], c["row_key"][i], c["seq"][i])
         if k in seen:
             continue

@@ -51,7 +51,31 @@ def demux_batch(batch: pa.Table) -> pa.Table:
     cols: dict[str, list] = {name: [] for name in CUES_SCHEMA.names}
     for url, warc_ts, html in zip(urls, ts, htmls):
         row_key = hashlib.sha256(html).digest()
-        for seq, ds in enumerate(parse_payload(html)):
+        sets = parse_payload(html)
+        if not sets:
+            # sentinel row (seq=-1): a payload with zero display sets
+            # must still anchor its url through the shuffle so assemble
+            # emits an empty doc, matching the oracle's (url, "", 0)
+            cols["url"].append(url)
+            cols["row_key"].append(row_key)
+            cols["warc_ts"].append(warc_ts)
+            cols["seq"].append(-1)
+            cols["comp_num"].append(0)
+            cols["start_ticks"].append(0)
+            cols["end_ticks"].append(0)
+            cols["width"].append(0)
+            cols["height"].append(0)
+            cols["n_objects"].append(0)
+            cols["forced"].append(False)
+            cols["palette_count"].append(0)
+            cols["palette_last"].append(b"")
+            cols["obj_x"].append([])
+            cols["obj_y"].append([])
+            cols["obj_w"].append([])
+            cols["obj_h"].append([])
+            cols["bitmaps"].append([])
+            continue
+        for seq, ds in enumerate(sets):
             reassemble_fragments(ds)
             cols["url"].append(url)
             cols["row_key"].append(row_key)

@@ -201,6 +201,33 @@ class TestMalformedSegments:
         sets = parse_payload(payload)
         assert [d.comp_num for d in sets if d.objects] == [0]
 
+    def test_malformed_pcs_preserves_force_first(self):
+        # reference mutation order (:329-331): forceFirst=true is set
+        # BEFORE the throw-capable ParsePicture and survives the catch,
+        # so a continuation-flagged ODS right after a malformed PCS is
+        # parsed as a FIRST fragment (width/height at offsets 7/9)
+        pal = F.encode_pds_payload(0, 0, [(1, 120, 128, 128, 255)])
+        rle = F.rle_encode(np.ones((4, 8), dtype=np.uint8))
+        first_ods = F.encode_ods_payloads(0, 0, 8, 4, rle)[0]
+        bad_pcs = F.encode_pcs_payload(
+            1920, 1080, 0x10, 2, F.STATE_NORMAL, False, 0,
+            [])[:10] + bytes([5])  # claims 5 objects, has none
+        cont = (F.pack_be16(0) + bytes((0, 0x00)) + b"\x00\x00\x00"
+                + F.pack_be16(99) + F.pack_be16(77) + b"XY")
+        stream = (
+            F.encode_sup_segment(F.SEG_PCS, FX.TICK, F.encode_pcs_payload(
+                1920, 1080, 0x10, 1, F.STATE_EPOCH_START, False, 0,
+                [(0, 0, False, 10, 20)]))
+            + F.encode_sup_segment(F.SEG_PDS, FX.TICK, pal)
+            + F.encode_sup_segment(F.SEG_ODS, FX.TICK, first_ods)
+            + F.encode_sup_segment(F.SEG_PCS, 2 * FX.TICK, bad_pcs)
+            + F.encode_sup_segment(F.SEG_ODS, 2 * FX.TICK, cont)
+            + F.encode_sup_segment(F.SEG_END, 2 * FX.TICK, b""))
+        sets = parse_segment_stream(stream)
+        frags = [fr for d in sets for obj in d.bitmap_objects for fr in obj]
+        assert any(f.is_first and f.width == 99 and f.height == 77
+                   for f in frags)
+
     def test_short_ods_body_skipped(self):
         good = FX.sup_payload([FX.text_ds("ok", FX.TICK)])
         bad_ods = F.encode_sup_segment(F.SEG_ODS, 0, b"\x00\x01\x00\x80")

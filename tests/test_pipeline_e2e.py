@@ -36,6 +36,19 @@ def test_pipeline_matches_oracle_byte_identical(ray_session, tiny_dir):
     for url in exp:
         assert docs[url][0] == exp[url][0], f"text mismatch for {url}"
         assert docs[url][1] == exp[url][1], f"cue count mismatch for {url}"
+    # the all-unparseable url survives as an explicit empty doc (demux
+    # sentinel row), matching the oracle's (url, "", 0)
+    assert docs["https://example.org/t/garbage/18"] == ("", 0)
+
+
+def test_skip_merge_matches_nomerge_golden(ray_session, tiny_dir):
+    docs = _docs_map(extract_docs(read_pages(tiny_dir),
+                                  PipelineConfig(skip_merge=True)))
+    golden = read_golden(tiny_dir, variant="nomerge")
+    exp = {u: (t, n) for u, t, n in zip(golden.column("url").to_pylist(),
+                                        golden.column("text").to_pylist(),
+                                        golden.column("n_cues").to_pylist())}
+    assert docs == exp
 
 
 def test_pipeline_row_order_independent(ray_session, tiny_dir):
