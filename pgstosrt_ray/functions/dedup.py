@@ -83,6 +83,42 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
     return keys
 
 
+def lsh_band_keys_matrix(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Vectorized ``lsh_band_keys`` over a (n_docs, num_perm) uint64
+    signature matrix -> (n_docs, bands) int64; row-for-row identical to
+    calling ``lsh_band_keys`` per signature (pinned by test)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), np.uint64(14695981039346656037),
+                    dtype=np.uint64)
+        for r in range(rows):  # loop over rows-per-band (e.g. 8), not docs
+            cols = np.arange(bands) * rows + r
+            h = (h ^ sigs[:, cols]) * _B
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (for SimHash hamming)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    bytes_view = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(bytes_view.reshape(x.size, 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def salt_bucket(band: np.ndarray, key: np.ndarray,
+                groups: int) -> np.ndarray:
+    """Deterministic shuffle-group id for a (band, key) bucket: the
+    wide groupby runs over ``groups`` salted groups (a scale knob that
+    grows with the cluster) instead of one group per band; the exact
+    per-(band, key) pairing happens in-process inside each group."""
+    with np.errstate(over="ignore"):
+        mixed = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 ^ (band.astype(np.uint64) + np.uint64(0x1B873593)) * _B)
+    return (mixed % np.uint64(groups)).astype(np.int32)
+
+
 def simhash64(token_hashes: np.ndarray,
               weights: np.ndarray | None = None) -> int:
     """64-bit SimHash of a token hash multiset."""

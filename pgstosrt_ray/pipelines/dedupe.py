@@ -1,30 +1,49 @@
 """Deduplication pipelines over the ``documents`` table (task-mandated
 training-data operators, alongside SURVEY §2.7 D1/D2).
 
-Scale notes (100 TB design):
-  - signatures are computed per batch in ``map_batches`` and only the
-    small (doc_id, band_key / simhash / signature) rows shuffle;
-  - candidate generation is a ``groupby`` on band buckets — the only
-    wide op; texts never shuffle;
-  - cluster labeling here uses driver-side union-find over the
-    candidate PAIRS (provably small: bounded by LSH collisions). The
-    1e12-row path replaces it with iterative min-label propagation:
-    repeat (pair -> groupby(node).min(label)) until fixpoint, each
-    round a small shuffle over the pair list only.
+Scale design (100 TB / 1e12 rows):
+  - signatures are computed per batch in ``map_batches`` and only small
+    signature/bucket rows shuffle; full texts NEVER shuffle;
+  - candidate generation shuffles (grp, band, key, doc_id) rows where
+    ``grp = hash(band, key) % SHUFFLE_GROUPS`` — the wide groupby runs
+    over SHUFFLE_GROUPS salted groups (a knob that grows with the
+    cluster), not one group per band, and no group ever holds a whole
+    band of the corpus; exact per-(band, key) pairing happens
+    in-process inside each salted group;
+  - signatures are NOT duplicated into band rows: pairs are generated
+    as bare (doc_a, doc_b) ids and signatures re-attached by two hash
+    joins against the (1000x-smaller-than-text) signature table;
+  - cluster labeling is iterative min-label propagation over the edge
+    list (join + groupby-min per round, converges in O(cluster
+    diameter) rounds) — nothing corpus-sized ever reaches the driver;
+    the driver-side union-find survives only as the test oracle
+    (functions/dedup.union_find_clusters);
+  - embedding near-dup is blocked by multi-table random-hyperplane LSH
+    (pairs only within (table, bucket) cells) instead of broadcasting
+    the full matrix; approximate by design, recall set by
+    (tables, bits) — planted-duplicate recall is pinned by test.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.dedup import (MinHasher, char_shingle_hashes, hamming64,
-                               jaccard, lsh_band_keys, simhash64,
-                               union_find_clusters, word_ngram_hashes)
+from ..functions.dedup import (MinHasher, char_shingle_hashes, jaccard,
+                               lsh_band_keys_matrix, popcount64, salt_bucket,
+                               simhash64, word_ngram_hashes)
 
 NUM_PERM = 128
 BANDS = 16
+# salted shuffle-group count for bucket pairing: the ONLY scale knob a
+# bigger cluster needs to raise (e.g. 4-8x the executor count)
+SHUFFLE_GROUPS = 64
+JOIN_PARTITIONS = 16
+
+PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
 def _read_docs(sf_dir: str):
@@ -35,142 +54,267 @@ def _read_docs(sf_dir: str):
 
 class MinHashSignatures:
     """Actor-pool stage: warm MinHasher (permutation tables built once
-    per actor — the O1 pattern) computing signatures per batch."""
+    per actor — the O1 pattern) computing signatures per batch. Arrow
+    in/out with an explicit schema (stable block schema => no
+    schema-dedup warnings)."""
+
+    SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
 
     def __init__(self, num_perm: int = NUM_PERM):
         self.hasher = MinHasher(num_perm=num_perm)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.hasher.signature(char_shingle_hashes(t))
-                for t in df["text"]]
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].values,
-            "sig": [s.astype(np.int64).tobytes() for s in sigs],
-        })
+                .astype(np.int64).tobytes()
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "sig": pa.array(sigs, pa.binary())},
+                        schema=self.SCHEMA)
 
 
-def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5):
-    """documents -> candidate near-dup pairs with estimated Jaccard.
-
-    shingle -> minhash (actor pool) -> explode to (band_key, doc_id)
-    -> groupby(band) -> within-bucket pairs -> signature-estimate
-    Jaccard >= threshold -> distinct pairs.
-    """
-    import ray.data
-    sigs = _read_docs(sf_dir).map_batches(
-        MinHashSignatures, batch_format="pandas", batch_size=256,
+def _signatures(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(
+        MinHashSignatures, batch_format="pyarrow", batch_size=256,
         concurrency=2)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"band": [], "key": [], "doc_id": [], "sig": []}
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            s = np.frombuffer(sig, dtype=np.int64).astype(np.uint64)
-            for band, key in enumerate(lsh_band_keys(s, bands=BANDS)):
-                rows["band"].append(band)
-                rows["key"].append(key)
-                rows["doc_id"].append(doc_id)
-                rows["sig"].append(sig)
-        return pd.DataFrame(rows)
 
-    buckets = sigs.map_batches(explode, batch_format="pandas")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
-        # one Ray group per BAND (few, large groups — per-(band,key)
-        # map_groups costs ~ms of overhead per tiny group); the inner
-        # per-bucket pairing is an in-process pandas groupby. At 1e12
-        # scale, group by (band, key_prefix) for more parallelism.
-        for _, bucket in g.groupby("key", sort=True):
-            if len(bucket) < 2:
-                continue
-            bucket = bucket.sort_values("doc_id")
-            ids = bucket["doc_id"].tolist()
-            sigs_ = [np.frombuffer(s, dtype=np.int64) for s in bucket["sig"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    est = float((sigs_[i] == sigs_[j]).mean())
-                    if est >= threshold:
-                        out["doc_a"].append(ids[i])
-                        out["doc_b"].append(ids[j])
-                        out["est_jaccard"].append(est)
-        return pd.DataFrame(out).astype({"doc_a": "int64", "doc_b": "int64",
-                                         "est_jaccard": "float64"})
-
-    pair_ds = buckets.groupby("band").map_groups(
-        bucket_pairs, batch_format="pandas")
-    # same pair can surface from many bands: distinct
-    from ray.data.aggregate import Max
-    return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+def _sig_matrix(col) -> np.ndarray:
+    rows = [np.frombuffer(s, dtype=np.int64) for s in col]
+    return (np.stack(rows) if rows
+            else np.zeros((0, NUM_PERM), dtype=np.int64))
 
 
-def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
-    """documents -> (doc_id, cluster_id) via MinHash-LSH + union-find."""
-    pairs_tbl = minhash_candidate_pairs(sf_dir, threshold).to_pandas()
-    ids = _read_docs(sf_dir).select_columns(["doc_id"]).to_pandas()
-    labels = union_find_clusters(
-        list(zip(pairs_tbl["doc_a"], pairs_tbl["doc_b"])),
-        ids["doc_id"].tolist())
+def _explode_minhash_bands(batch: pa.Table, groups: int) -> pa.Table:
+    """(doc_id, sig) -> (grp, band, key, doc_id): tiny bucket rows only,
+    the signature itself does NOT enter the shuffle."""
+    sig_mat = _sig_matrix(batch.column("sig").to_pylist()).astype(np.uint64)
+    n = sig_mat.shape[0]
+    keys = lsh_band_keys_matrix(sig_mat, bands=BANDS)         # (n, BANDS)
+    band = np.tile(np.arange(BANDS, dtype=np.int32), n)
+    key_flat = keys.reshape(-1)
+    doc = np.repeat(batch.column("doc_id").to_numpy(), BANDS)
     return pa.table({
-        "doc_id": pa.array(sorted(labels), pa.int64()),
-        "cluster_id": pa.array([labels[i] for i in sorted(labels)],
-                               pa.int64()),
+        "grp": pa.array(salt_bucket(band, key_flat, groups), pa.int32()),
+        "band": pa.array(band, pa.int32()),
+        "key": pa.array(key_flat, pa.int64()),
+        "doc_id": pa.array(doc, pa.int64()),
     })
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One salted group -> candidate (doc_a, doc_b) pairs; exact
+    (band, key) bucketing happens here, in-process."""
+    out_a, out_b = [], []
+    for _, bucket in g.groupby(["band", "key"], sort=True):
+        ids = np.sort(bucket["doc_id"].to_numpy())
+        if ids.size < 2:
+            continue
+        ia, ib = np.triu_indices(ids.size, k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
+    return pd.DataFrame({"doc_a": a.astype("int64"),
+                         "doc_b": b.astype("int64")})
+
+
+def _distinct_pairs(pair_ds):
+    from ray.data.aggregate import Count
+    return (pair_ds.groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_a", "doc_b"]))
+
+
+def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
+                            groups: int = SHUFFLE_GROUPS):
+    """documents -> candidate near-dup pairs with estimated Jaccard.
+
+    shingle -> minhash (actor pool) -> explode to salted (band, key)
+    bucket rows (ids only) -> salted groupby -> within-bucket pairs ->
+    distinct -> re-attach signatures by hash join -> estimate Jaccard
+    from full signatures -> filter >= threshold.
+    """
+    # materialized once: three consumers (band explode + two joins)
+    # would otherwise recompute the shingle/minhash pass; signatures
+    # are ~1 KB/doc (~1000x smaller than text), object store can spill
+    sigs = _signatures(sf_dir).materialize()
+    buckets = sigs.map_batches(
+        functools.partial(_explode_minhash_bands, groups=groups),
+        batch_format="pyarrow")
+    # materialize() boundaries keep at most ONE hash-shuffle join per
+    # streaming execution: concurrent join aggregator pools can
+    # resource-deadlock on small CPU budgets (the pair/bucket tables
+    # at the boundaries are the small, collision-bounded ones)
+    cand = _distinct_pairs(buckets.groupby("grp").map_groups(
+        _bucket_pairs, batch_format="pandas")).materialize()
+    with_a = cand.join(sigs, "inner", JOIN_PARTITIONS,
+                       on=("doc_a",), right_on=("doc_id",))
+    with_a = with_a.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_a"),
+                            "doc_b": t.column("doc_b"),
+                            "sig_a": t.column("sig")}),
+        batch_format="pyarrow").materialize()
+    with_b = with_a.join(sigs, "inner", JOIN_PARTITIONS,
+                         on=("doc_b",), right_on=("doc_id",))
+
+    def estimate(t: pa.Table) -> pa.Table:
+        a = _sig_matrix(t.column("sig_a").to_pylist())
+        b = _sig_matrix(t.column("sig").to_pylist())
+        est = ((a == b).mean(axis=1) if len(a)
+               else np.zeros(0, dtype=np.float64))
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.array(t.column("doc_a").to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(t.column("doc_b").to_numpy()[keep], pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return with_b.map_batches(estimate, batch_format="pyarrow")
+
+
+def _edges_of(pair_ds):
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+    return pair_ds.map_batches(both, batch_format="pyarrow")
+
+
+def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.5,
+                           max_rounds: int = 25):
+    """documents -> (doc_id, cluster_id) via MinHash-LSH + distributed
+    min-label propagation (cluster_id = min doc_id in the connected
+    component, identical to union-find). Per round: one join + one
+    groupby-min over the EDGE list only; convergence detected by the
+    monotone non-increasing label sum. Nothing corpus-sized reaches
+    the driver; singletons get their label by left-outer join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+    edges = _edges_of(
+        minhash_candidate_pairs(sf_dir, threshold)).materialize()
+    ids = _read_docs(sf_dir).select_columns(["doc_id"])
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "cluster_id": t.column("doc_id")}),
+            batch_format="pyarrow")
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lnode": t.column("node"),
+            "lbl": pc.min_element_wise(t.column("node"), t.column("lbl")),
+        })
+
+    labels = (edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+              .map_batches(seed_labels, batch_format="pyarrow")
+              .materialize())
+    prev_sum = labels.sum("lbl")
+    for _ in range(max_rounds):
+        prop = edges.join(labels, "inner", JOIN_PARTITIONS,
+                          on=("node",), right_on=("lnode",))
+        prop = prop.map_batches(
+            lambda t: pa.table({"lnode": t.column("nbr"),
+                                "lbl": t.column("lbl")}),
+            batch_format="pyarrow")
+        merged = (prop.union(labels)
+                  .groupby("lnode").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+        new_sum = merged.sum("lbl")
+        labels = merged
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = ids.join(labels, "left_outer", JOIN_PARTITIONS,
+                   on=("doc_id",), right_on=("lnode",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "cluster_id": pc.coalesce(t.column("lbl"),
+                                      t.column("doc_id")).cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SIMHASH_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("simhash", pa.int64()),
+    ("band0", pa.int64()), ("band1", pa.int64()),
+    ("band2", pa.int64()), ("band3", pa.int64()),
+])
 
 
 def simhash_signatures(sf_dir: str):
     """documents -> (doc_id, simhash, band0..band3): 64-bit SimHash with
     4x16-bit bands for candidate bucketing (hamming<=3 guarantee)."""
 
-    def sh(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": df["doc_id"].values, "simhash": [],
-               "band0": [], "band1": [], "band2": [], "band3": []}
-        for t in df["text"]:
-            h = simhash64(word_ngram_hashes(t, n=1))
-            out["simhash"].append(np.int64(np.uint64(h)))
-            for b in range(4):
-                out[f"band{b}"].append((h >> (16 * b)) & 0xFFFF)
-        return pd.DataFrame(out)
+    def sh(batch: pa.Table) -> pa.Table:
+        hs = np.array([simhash64(word_ngram_hashes(t, n=1))
+                       for t in batch.column("text").to_pylist()],
+                      dtype=np.uint64)
+        cols = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+                "simhash": pa.array(hs.astype(np.int64), pa.int64())}
+        for b in range(4):
+            cols[f"band{b}"] = pa.array(
+                ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                .astype(np.int64), pa.int64())
+        return pa.table(cols, schema=SIMHASH_SCHEMA)
 
-    return _read_docs(sf_dir).map_batches(sh, batch_format="pandas",
+    return _read_docs(sf_dir).map_batches(sh, batch_format="pyarrow",
                                           batch_size=256)
 
 
-def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
-    """SimHash banding: equal 16-bit band => candidate; verify hamming."""
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                           groups: int = SHUFFLE_GROUPS):
+    """SimHash banding: equal 16-bit band => candidate; verify hamming.
+    Same salted-bucket shuffle as MinHash (parallelism = ``groups``,
+    not 4); the 8-byte simhash rides along (4x8 B per doc is cheap,
+    unlike the 1 KB MinHash signature)."""
     sigs = simhash_signatures(sf_dir)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in df.iterrows():
-            for b in range(4):
-                rows.append((b, int(r[f"band{b}"]), int(r["doc_id"]),
-                             int(r["simhash"])))
-        return pd.DataFrame(rows, columns=["band", "key", "doc_id",
-                                           "simhash"])
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        doc = np.repeat(t.column("doc_id").to_numpy(), 4)
+        sim = np.repeat(t.column("simhash").to_numpy(), 4)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        key = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            key[b::4] = t.column(f"band{b}").to_numpy()
+        return pa.table({
+            "grp": pa.array(salt_bucket(band, key, groups), pa.int32()),
+            "band": pa.array(band, pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "simhash": pa.array(sim, pa.int64()),
+        })
 
-    buckets = sigs.map_batches(explode, batch_format="pandas")
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for _, bucket in g.groupby("key", sort=True):
-            if len(bucket) < 2:
-                continue
+        out_a, out_b, out_d = [], [], []
+        for _, bucket in g.groupby(["band", "key"], sort=True):
             bucket = bucket.sort_values("doc_id")
-            recs = list(zip(bucket["doc_id"], bucket["simhash"]))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    mask = (1 << 64) - 1
-                    d = hamming64(int(recs[i][1]) & mask,
-                                  int(recs[j][1]) & mask)
-                    if d <= max_hamming:
-                        out["doc_a"].append(recs[i][0])
-                        out["doc_b"].append(recs[j][0])
-                        out["hamming"].append(d)
-        return pd.DataFrame(out).astype({"doc_a": "int64", "doc_b": "int64",
-                                         "hamming": "int64"})
+            ids = bucket["doc_id"].to_numpy()
+            if ids.size < 2:
+                continue
+            sims = bucket["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(ids.size, k=1)
+            d = popcount64(sims[ia] ^ sims[ib])
+            keep = d <= max_hamming
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_d.append(d[keep])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
+        d = np.concatenate(out_d) if out_d else np.zeros(0, dtype=np.int64)
+        return pd.DataFrame({"doc_a": a.astype("int64"),
+                             "doc_b": b.astype("int64"),
+                             "hamming": d.astype("int64")})
 
-    pair_ds = buckets.groupby("band").map_groups(
+    pair_ds = buckets.groupby("grp").map_groups(
         band_pairs, batch_format="pandas")
     from ray.data.aggregate import Min
     return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
@@ -179,67 +323,145 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     """Exact word-3-gram Jaccard verification of the MinHash candidate
-    pairs (texts fetched only for the candidate ids — broadcast the
-    small candidate set, not the corpus)."""
+    pairs. Distributed: only the candidate ID SET (ints, bounded by LSH
+    collisions) is broadcast; texts of candidate docs turn into n-gram
+    hash sets inside ``map_batches``; gram sets attach to pairs via two
+    hash joins; the per-pair Jaccard runs inside ``map_batches`` — no
+    text and no per-pair loop ever reaches the driver."""
     import ray
-    import ray.data
-    cand = minhash_candidate_pairs(sf_dir, threshold=0.2).to_pandas()
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    cand = minhash_candidate_pairs(sf_dir, threshold=0.2)
+    cand = cand.select_columns(["doc_a", "doc_b"]).materialize()
+    need: set[int] = set()
+    for t in cand.iter_batches(batch_format="pyarrow"):
+        need.update(t.column("doc_a").to_pylist())
+        need.update(t.column("doc_b").to_pylist())
     if not need:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard3": pa.array([], pa.float64())})
-    need_ref = ray.put(set(need))
+    need_ref = ray.put(need)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
+    def grams_of(t: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
-        return df[df["doc_id"].isin(wanted)]
+        ids, blobs = [], []
+        for i, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if i in wanted:
+                ids.append(i)
+                blobs.append(word_ngram_hashes(txt, n=3)
+                             .astype(np.int64).tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "grams": pa.array(blobs, pa.binary())})
 
-    texts = _read_docs(sf_dir).map_batches(
-        pick, batch_format="pandas").to_pandas()
-    grams = {i: word_ngram_hashes(t, n=3)
-             for i, t in zip(texts["doc_id"], texts["text"])}
-    out = {"doc_a": [], "doc_b": [], "jaccard3": []}
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        j = jaccard(grams[int(a)], grams[int(b)])
-        if j >= threshold:
-            out["doc_a"].append(int(a))
-            out["doc_b"].append(int(b))
-            out["jaccard3"].append(j)
-    return pa.table({"doc_a": pa.array(out["doc_a"], pa.int64()),
-                     "doc_b": pa.array(out["doc_b"], pa.int64()),
-                     "jaccard3": pa.array(out["jaccard3"], pa.float64())})
+    grams = _read_docs(sf_dir).map_batches(
+        grams_of, batch_format="pyarrow").materialize()
+    j1 = cand.join(grams, "inner", JOIN_PARTITIONS,
+                   on=("doc_a",), right_on=("doc_id",))
+    # one join per streaming execution (see minhash_candidate_pairs)
+    j1 = j1.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_a"),
+                            "doc_b": t.column("doc_b"),
+                            "grams_a": t.column("grams")}),
+        batch_format="pyarrow").materialize()
+    j2 = j1.join(grams, "inner", JOIN_PARTITIONS,
+                 on=("doc_b",), right_on=("doc_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        out = {"doc_a": [], "doc_b": [], "jaccard3": []}
+        for a, b, ga, gb in zip(t.column("doc_a").to_pylist(),
+                                t.column("doc_b").to_pylist(),
+                                t.column("grams_a").to_pylist(),
+                                t.column("grams").to_pylist()):
+            j = jaccard(np.frombuffer(ga, dtype=np.uint64),
+                        np.frombuffer(gb, dtype=np.uint64))
+            if j >= threshold:
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
+                out["jaccard3"].append(j)
+        return pa.table({"doc_a": pa.array(out["doc_a"], pa.int64()),
+                         "doc_b": pa.array(out["doc_b"], pa.int64()),
+                         "jaccard3": pa.array(out["jaccard3"],
+                                              pa.float64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35):
-    """Embedding-cosine near-dup: block-wise matmul of normalized
-    vectors against a broadcast matrix; emits pairs above threshold.
-    At 1e12 scale the broadcast side becomes IVF cells (similarity.py);
-    the per-batch kernel is the same."""
-    import ray
+EMB_TABLES = 6
+EMB_BITS = 8
+EMB_SEED = 77
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
+                             tables: int = EMB_TABLES, bits: int = EMB_BITS,
+                             groups: int = SHUFFLE_GROUPS):
+    """Embedding-cosine near-dup, LSH-blocked (the 100 TB shape):
+    ``tables`` independent random-hyperplane hash tables assign each
+    vector to a bucket per table; cosine is computed only WITHIN
+    (table, bucket) cells (salted groupby, same pattern as MinHash) —
+    no full-matrix broadcast, no all-pairs matmul. Approximate by
+    design: a pair at cosine c collides in >=1 table with prob
+    1-(1-(1-acos(c)/pi)^bits)^tables (~0.96+ for true near-dups at
+    c>=0.95 with 6x8 defaults); planted-duplicate recall is pinned by
+    test."""
     import ray.data
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"]).to_pandas()
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
-    ids = emb["vec_id"].to_numpy()
-    mat_ref = ray.put((ids, mat))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    def block(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(mat_ref)
-        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
-        sims = q @ all_mat.T
-        qa, qb = np.nonzero(sims >= threshold)
-        doc_a = df["vec_id"].to_numpy()[qa]
-        doc_b = all_ids[qb]
-        keep = doc_a < doc_b  # dedupe symmetric pairs, drop self
-        return pd.DataFrame({"doc_a": doc_a[keep], "doc_b": doc_b[keep],
-                             "cosine": sims[qa, qb][keep]})
+    def bucketize(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in emb.to_pylist()])
+        if m.ndim != 2 or m.shape[0] == 0:
+            m = np.zeros((0, 1))
+        rng = np.random.RandomState(EMB_SEED)
+        planes = rng.standard_normal((tables * bits, m.shape[1]))
+        signs = (m @ planes.T) > 0                       # (n, tables*bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        bucket = np.stack([signs[:, tb * bits:(tb + 1) * bits] @ weights
+                           for tb in range(tables)], axis=1)  # (n, tables)
+        n = t.num_rows
+        tab = np.tile(np.arange(tables, dtype=np.int32), n)
+        key = bucket.reshape(-1).astype(np.int64)
+        take_idx = np.repeat(np.arange(n), tables)
+        return pa.table({
+            "grp": pa.array(salt_bucket(tab, key, groups), pa.int32()),
+            "tbl": pa.array(tab, pa.int32()),
+            "bucket": pa.array(key, pa.int64()),
+            "vec_id": t.column("vec_id").take(pa.array(take_idx)),
+            "embedding": emb.combine_chunks().take(pa.array(take_idx)),
+        })
 
-    return ds.map_batches(block, batch_format="pandas", batch_size=256)
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for _, cell in g.groupby(["tbl", "bucket"], sort=True):
+            cell = cell.sort_values("vec_id")
+            ids = cell["vec_id"].to_numpy()
+            if ids.size < 2:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in cell["embedding"]])
+            m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+            sims = m @ m.T
+            ia, ib = np.triu_indices(ids.size, k=1)
+            keep = sims[ia, ib] >= threshold
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_c.append(sims[ia, ib][keep])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
+        c = np.concatenate(out_c) if out_c else np.zeros(0, dtype=np.float64)
+        return pd.DataFrame({"doc_a": a.astype("int64"),
+                             "doc_b": b.astype("int64"),
+                             "cosine": c.astype("float64")})
+
+    pair_ds = buckets.groupby("grp").map_groups(
+        cell_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+    return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))
 
 
 QUERIES = {

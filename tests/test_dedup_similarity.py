@@ -43,6 +43,28 @@ class TestKernels:
         h3 = D.simhash64(D.word_ngram_hashes("z y x w v u t s r q", 1))
         assert D.hamming64(h1, h2) < D.hamming64(h1, h3)
 
+    def test_band_keys_matrix_matches_per_row(self):
+        mh = D.MinHasher()
+        sigs = np.stack([mh.signature(D.char_shingle_hashes(f"doc {i} " * 9))
+                         for i in range(7)])
+        mat = D.lsh_band_keys_matrix(sigs.astype(np.uint64))
+        for i in range(7):
+            assert mat[i].tolist() == D.lsh_band_keys(sigs[i])
+
+    def test_popcount64(self):
+        xs = np.array([0, 1, 0xFFFF, (1 << 64) - 1, 0x8000000000000001],
+                      dtype=np.uint64)
+        assert D.popcount64(xs).tolist() == [bin(int(x)).count("1")
+                                             for x in xs]
+
+    def test_salt_bucket_range_and_determinism(self):
+        band = np.arange(16, dtype=np.int64) % 4
+        key = np.arange(16, dtype=np.int64) * 12345
+        g1 = D.salt_bucket(band, key, 64)
+        g2 = D.salt_bucket(band, key, 64)
+        assert np.array_equal(g1, g2)
+        assert ((g1 >= 0) & (g1 < 64)).all()
+
     def test_union_find(self):
         labels = D.union_find_clusters([(1, 2), (2, 3), (5, 6)],
                                        [1, 2, 3, 4, 5, 6])
@@ -107,6 +129,26 @@ class TestPipelines:
         lab = dict(zip(clusters.doc_id, clusters.cluster_id))
         assert lab[0] == lab[1]
         assert lab[2] != lab[0]
+        # distributed min-label propagation == driver union-find oracle
+        oracle = D.union_find_clusters(
+            list(zip(pairs.doc_a, pairs.doc_b)), list(range(len(texts))))
+        assert lab == oracle
+
+    def test_embedding_near_dup_finds_planted(self, ray_session, tmp_path):
+        rng = np.random.RandomState(5)
+        vecs = rng.standard_normal((60, 64))
+        vecs[1] = vecs[0] + rng.standard_normal(64) * 0.02  # cosine ~0.999
+        vecs[7] = vecs[6] + rng.standard_normal(64) * 0.05
+        df = pd.DataFrame({"vec_id": range(60),
+                           "embedding": [v.tolist() for v in vecs]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        df.to_parquet(d / "embeddings.parquet")
+        from pgstosrt_ray.pipelines.dedupe import embedding_near_dup_pairs
+        pairs = embedding_near_dup_pairs(str(d)).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert {(0, 1), (6, 7)} <= found  # LSH blocking keeps near-dups
+        assert pairs.cosine.ge(0.35).all()
 
     def test_ann_brute_force_matches_duckdb(self, ray_session):
         from pgstosrt_ray.pipelines import similarity
