@@ -82,6 +82,11 @@ def run_bench() -> dict:
             n += b.num_rows
         n_docs_holder["n"] = n
 
+    # first pass = cold (includes Ray worker/pool spin-up: reported as
+    # value_cold); second pass = steady-state throughput, the headline
+    # (the 100 TB-relevant number — spin-up amortizes to nothing on a
+    # long-running job). Methodology documented in BASELINE.md.
+    headline_cold_sec = timed(headline)
     headline_sec = timed(headline)
 
     queries: dict[str, float] = {}
@@ -90,6 +95,7 @@ def run_bench() -> dict:
         n_docs = n_docs_holder["n"]
         result = {
             "metric": "end_to_end_extraction_sec", "value": headline_sec,
+            "value_cold": headline_cold_sec,
             "unit": "sec", "queries": {}, "sf": _sf_of(SF_DIR),
             "num_cpus": NUM_CPUS, "n_docs": n_docs,
             "docs_per_sec": round(n_docs / headline_sec, 2),
@@ -125,6 +131,7 @@ def run_bench() -> dict:
     result = {
         "metric": "end_to_end_extraction_sec",
         "value": headline_sec,
+        "value_cold": headline_cold_sec,
         "unit": "sec",
         "queries": queries,
         "sf": _sf_of(SF_DIR),

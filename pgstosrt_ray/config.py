@@ -43,14 +43,19 @@ class PipelineConfig:
     num_partitions: int = 16
     # assembly shuffle buckets (sha1(url) % B); ~4x total cores
     assemble_buckets: int = 128
-    # skew defense (SURVEY §4): the primary defense is structural —
-    # demux runs unfused with small page batches, so extract batches
-    # are uniform in CUES regardless of page size. Optionally, pages
-    # above this threshold also route through a dedicated tiny-batch
-    # task lane (costs a second read of the input); None disables.
-    skew_split_bytes: int | None = None
-    skew_big_batch_size: int = 4
-    demux_batch_size_small: int = 8
+    # skew defense (SURVEY §4, north_star "explicit repartitioning to
+    # defeat payload-size skew"): when set, demux YIELDS cue blocks
+    # bounded by this many cumulative bitmap bytes (a giant payload's
+    # cues split across many blocks, a huge cue sits alone) and the
+    # unfused extract stage consumes one block per batch
+    # (batch_size=None) — so a multi-MB payload never shares an
+    # extract batch with light rows, extract work spreads across
+    # workers by BYTES not row count, and the input is read exactly
+    # ONCE (the round-1 dual-lane design scanned the corpus twice).
+    # None disables (plain row-count batching). Default ON: measured
+    # within ~5% of row-count batching on the heavy bench corpus while
+    # bounding extract batches by bytes (BASELINE.md).
+    skew_block_bytes: int | None = 512 * 1024
 
     def concurrency(self):
         c = self.extract_concurrency

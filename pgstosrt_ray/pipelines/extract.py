@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
@@ -40,19 +41,60 @@ def _task_extract(batch: pa.Table) -> pa.Table:
     return eng(batch)
 
 
-def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int, extract_bs: int):
-    if cfg.extract_mode == "tasks":
+def _demux_router(batch: pa.Table, block_bytes: int):
+    """Single-pass skew router: demux ONE page batch, then yield its
+    cue rows as blocks bounded by cumulative bitmap bytes. A giant
+    payload's cues spread across many blocks (each handled by its own
+    downstream extract batch); a single huge cue sits alone. The input
+    is read exactly once — this replaces the round-1 dual-lane design
+    that scanned the corpus twice."""
+    import pyarrow.compute as pc
+    cues = demux_batch(batch)
+    n = cues.num_rows
+    if n == 0:
+        yield cues
+        return
+    col = cues.column("bitmaps").combine_chunks()
+    lens = pc.binary_length(col.flatten()).to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy()
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    row_bytes = cum[offs[1:] - offs[0]] - cum[offs[:-1] - offs[0]]
+    start, acc = 0, 0
+    for i in range(n):
+        if i > start and acc + row_bytes[i] > block_bytes:
+            yield cues.slice(start, i - start)
+            start, acc = i, 0
+        acc += row_bytes[i]
+    yield cues.slice(start, n - start)
+
+
+def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int,
+              extract_bs: int | None):
+    if cfg.skew_block_bytes is not None:
+        # byte-bounded cue blocks; extract takes one block per batch.
+        # demux gets a fractional-CPU resource spec so it does NOT fuse
+        # with extract — fused, every block of a giant payload would
+        # run serially in one task and the split would buy nothing.
+        demux_fn = functools.partial(_demux_router,
+                                     block_bytes=cfg.skew_block_bytes)
+        cues = pages_ds.map_batches(demux_fn, batch_format="pyarrow",
+                                    batch_size=demux_bs,
+                                    num_cpus=cfg.demux_num_cpus)
+        extract_bs = None
+    elif cfg.extract_mode == "tasks":
         cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
                                     batch_size=demux_bs)
+    else:
+        # actor-pool mode (O1 shape for expensive engines): demux runs
+        # as SEPARATE tasks (fractional num_cpus blocks fusion into the
+        # pool), so page-size skew is bounded by the small demux batch
+        # and the pool consumes UNIFORM cue batches
+        cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
+                                    batch_size=demux_bs,
+                                    num_cpus=cfg.demux_num_cpus)
+    if cfg.extract_mode == "tasks":
         return cues.map_batches(_task_extract, batch_format="pyarrow",
                                 batch_size=extract_bs)
-    # actor-pool mode (O1 shape for expensive engines): demux runs as
-    # SEPARATE tasks (fractional num_cpus blocks fusion into the pool),
-    # so page-size skew is bounded by the small demux batch and the
-    # pool consumes UNIFORM cue batches regardless of cues-per-page
-    cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
-                                batch_size=demux_bs,
-                                num_cpus=cfg.demux_num_cpus)
     return cues.map_batches(
         ExtractorEngine, batch_format="pyarrow",
         batch_size=extract_bs,
@@ -63,42 +105,11 @@ def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int, extract_bs: int):
 def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     """pages Dataset -> docs Dataset (url, text, n_cues). Lazy.
 
-    Skew defense (SURVEY §4, north_star "explicit repartitioning to
-    defeat payload-size skew"): rows with html larger than
-    ``cfg.skew_split_bytes`` go through a small-batch lane (few rows
-    per task) while the bulk lane keeps large batches; the two span
-    streams union before the url groupby, which re-co-locates any url
-    whose rows straddled the lanes."""
-    import pyarrow.compute as pc
-
-    if cfg.skew_split_bytes is not None:
-        thr = cfg.skew_split_bytes
-
-        def _lane(batch: pa.Table, big: bool) -> pa.Table:
-            sizes = pc.binary_length(batch.column("html"))
-            mask = pc.greater_equal(sizes, thr) if big \
-                else pc.less(sizes, thr)
-            return batch.filter(mask)
-
-        small = pages_ds.map_batches(
-            functools.partial(_lane, big=False), batch_format="pyarrow")
-        big = pages_ds.map_batches(
-            functools.partial(_lane, big=True), batch_format="pyarrow")
-        # big lane: STATELESS tasks with tiny batches — elastic (no
-        # idle actor pool when the lane is empty) and one multi-MB
-        # payload never shares a batch with 63 others
-        big_engine = ExtractorEngine()
-
-        def big_extract(batch: pa.Table) -> pa.Table:
-            return big_engine(demux_batch(batch))
-
-        big_spans = big.map_batches(big_extract, batch_format="pyarrow",
-                                    batch_size=cfg.skew_big_batch_size)
-        spans = _spans_of(small, cfg, cfg.demux_batch_size,
-                          cfg.extract_batch_size).union(big_spans)
-    else:
-        spans = _spans_of(pages_ds, cfg, cfg.demux_batch_size,
-                          cfg.extract_batch_size)
+    Skew defense: see ``PipelineConfig.skew_block_bytes`` — one input
+    pass, cue blocks bounded by bitmap bytes, extract spread by bytes
+    not row count."""
+    spans = _spans_of(pages_ds, cfg, cfg.demux_batch_size,
+                      cfg.extract_batch_size)
     # shuffle on a hash bucket, not the raw url: the sort-based shuffle
     # then moves small-int keys and per-group overhead is paid per
     # bucket (B groups) instead of per url (millions at scale); the

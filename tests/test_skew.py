@@ -1,5 +1,6 @@
-"""Skew-lane test: a url with a multi-MB payload routes through the
-small-batch lane and the result stays byte-identical to the oracle."""
+"""Skew-router test: a url with a multi-MB payload is split into
+byte-bounded cue blocks (single input pass) and the result stays
+byte-identical to the oracle."""
 
 import pyarrow as pa
 import pytest
@@ -30,6 +31,27 @@ def skewed_pages():
     return rows
 
 
+def test_router_chunks_bounded_by_bytes(skewed_pages):
+    from pgstosrt_ray.pipelines.extract import _demux_router
+    from pgstosrt_ray.stages.demux import demux_batch
+    pages = pa.table({
+        "url": pa.array([r[0] for r in skewed_pages], pa.string()),
+        "warc_ts": pa.array([r[1] for r in skewed_pages], pa.int64())
+        .cast(pa.timestamp("us")),
+        "html": pa.array([r[2] for r in skewed_pages], pa.binary()),
+    })
+    budget = 64 * 1024
+    blocks = list(_demux_router(pages, block_bytes=budget))
+    whole = demux_batch(pages)
+    # row multiset preserved, order preserved (concatenation identity)
+    assert pa.concat_tables(blocks).equals(whole)
+    assert len(blocks) > 1  # the giant payload actually split
+    for b in blocks:
+        sizes = sum(len(bb) for row in b.column("bitmaps").to_pylist()
+                    for bb in row)
+        assert b.num_rows == 1 or sizes <= budget
+
+
 def test_skew_lane_byte_identical(ray_session, skewed_pages):
     import ray.data
     pages = pa.table({
@@ -39,7 +61,7 @@ def test_skew_lane_byte_identical(ray_session, skewed_pages):
         "html": pa.array([r[2] for r in skewed_pages], pa.binary()),
     })
     ds = ray.data.from_arrow(pages)
-    cfg = PipelineConfig(skew_split_bytes=64 * 1024, extract_concurrency=2)
+    cfg = PipelineConfig(skew_block_bytes=64 * 1024, extract_concurrency=2)
     docs = {}
     for b in extract_docs(ds, cfg).iter_batches(batch_format="pyarrow"):
         for u, t, n in zip(b.column("url").to_pylist(),
