@@ -15,6 +15,13 @@ class PipelineConfig:
     # language filter (reference --tracklanguage, MkvUtilities.cs:76-96);
     # None = all languages
     lang: str | None = None
+    # O2 model resolution (reference --tesseractlanguage + tessdata
+    # scan, TesseractData.cs:18-66): when tessdata_dir is set the
+    # engine validates ocr_language against the *.traineddata stems
+    # (None = "+"-join of all available); resolution happens once per
+    # actor/worker in the engine constructor
+    ocr_language: str | None = None
+    tessdata_dir: str | None = None
     # stage sizing — payload-heavy demux reads few rows per batch; the
     # extractor pool is the warm-engine stage (SURVEY §4). Demux tasks
     # reserve a fractional CPU so they interleave with the actor pool

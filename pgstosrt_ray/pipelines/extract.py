@@ -30,14 +30,16 @@ from ..stages.extract import ExtractorEngine
 _TASK_ENGINE: dict = {}
 
 
-def _task_extract(batch: pa.Table) -> pa.Table:
-    """Task-mode extract: the engine is a per-worker-process singleton,
-    constructed once and reused across every batch the worker sees —
-    the same warm-engine amortization as the actor pool, scheduled
-    elastically (no pool spin-up)."""
-    eng = _TASK_ENGINE.get("engine")
+def _task_extract(batch: pa.Table, **engine_kwargs) -> pa.Table:
+    """Task-mode extract: the engine is a per-worker-process singleton
+    (keyed by its construction kwargs), constructed once and reused
+    across every batch the worker sees — the same warm-engine
+    amortization as the actor pool, scheduled elastically (no pool
+    spin-up)."""
+    key = tuple(sorted(engine_kwargs.items()))
+    eng = _TASK_ENGINE.get(key)
     if eng is None:
-        eng = _TASK_ENGINE["engine"] = ExtractorEngine()
+        eng = _TASK_ENGINE[key] = ExtractorEngine(**engine_kwargs)
     return eng(batch)
 
 
@@ -92,12 +94,21 @@ def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int,
         cues = pages_ds.map_batches(demux_batch, batch_format="pyarrow",
                                     batch_size=demux_bs,
                                     num_cpus=cfg.demux_num_cpus)
+    engine_kwargs: dict = {}
+    if cfg.tessdata_dir is not None:
+        engine_kwargs["tessdata_dir"] = cfg.tessdata_dir
+        engine_kwargs["language"] = cfg.ocr_language
+    elif cfg.ocr_language is not None:
+        engine_kwargs["language"] = cfg.ocr_language
     if cfg.extract_mode == "tasks":
-        return cues.map_batches(_task_extract, batch_format="pyarrow",
+        task_fn = (functools.partial(_task_extract, **engine_kwargs)
+                   if engine_kwargs else _task_extract)
+        return cues.map_batches(task_fn, batch_format="pyarrow",
                                 batch_size=extract_bs)
     return cues.map_batches(
         ExtractorEngine, batch_format="pyarrow",
         batch_size=extract_bs,
+        fn_constructor_kwargs=engine_kwargs,
         concurrency=cfg.concurrency(),
         num_cpus=cfg.extract_num_cpus)
 
@@ -118,9 +129,15 @@ def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     n_buckets = cfg.assemble_buckets
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_bucket", pa.array(
-            [partition_of(u, n_buckets)
-             for u in batch.column("url").to_pylist()], pa.int32()))
+        # hash each UNIQUE url once (spans carry many rows per url),
+        # then gather — cuts the per-row sha1 loop by the cues/url ratio
+        import pandas as pd
+        codes, uniques = pd.factorize(batch.column("url").to_pandas())
+        per_unique = np.fromiter(
+            (partition_of(u, n_buckets) for u in uniques),
+            dtype=np.int32, count=len(uniques))
+        return batch.append_column(
+            "_bucket", pa.array(per_unique[codes], pa.int32()))
 
     assemble = functools.partial(assemble_bucket,
                                  skip_merge=cfg.skip_merge,

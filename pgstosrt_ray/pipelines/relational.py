@@ -116,14 +116,18 @@ SQL_GROUPBY_AGG = (
 
 # --- J2: broadcast small-side join (track-catalog analogue) --------------
 def q_broadcast_join(sf_dir: str):
+    import pandas as pd
     import ray
     nation = _read(sf_dir, "nation").to_pandas()
-    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    # broadcast an index-keyed Series: the per-batch lookup is one
+    # vectorized reindex gather, no per-row Python
+    ref = ray.put(pd.Series(nation["n_name"].to_numpy(),
+                            index=nation["n_nationkey"].to_numpy()))
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
     def join(t: pa.Table) -> pa.Table:
         lookup = ray.get(ref)
-        names = [lookup[k] for k in t.column("c_nationkey").to_pylist()]
+        names = lookup.reindex(t.column("c_nationkey").to_numpy()).to_numpy()
         return t.append_column("n_name", pa.array(names, pa.string()))
 
     return ds.map_batches(join, batch_format="pyarrow")
@@ -324,9 +328,9 @@ SQL_EXACT_DEDUP = (
 # --- semi / anti join: broadcast key set + map-side filter -------------
 def _order_custkeys(sf_dir: str):
     import ray
-    keys = set(_read(sf_dir, "orders", columns=["o_custkey"])
-               .to_pandas()["o_custkey"])
-    return ray.put(keys)
+    keys = (_read(sf_dir, "orders", columns=["o_custkey"])
+            .to_pandas()["o_custkey"].unique())
+    return ray.put(pa.array(keys))
 
 
 def q_semi_join(sf_dir: str):
@@ -336,8 +340,7 @@ def q_semi_join(sf_dir: str):
 
     def keep(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = [k in keys for k in t.column("c_custkey").to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        return t.filter(pc.is_in(t.column("c_custkey"), value_set=keys))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -348,15 +351,15 @@ SQL_SEMI_JOIN = ("SELECT c_custkey, c_name FROM customer "
 def q_anti_join(sf_dir: str):
     """Orders with no lineitems (non-empty at every sf)."""
     import ray
-    keys = set(_read(sf_dir, "lineitem", columns=["l_orderkey"])
-               .to_pandas()["l_orderkey"])
-    ref = ray.put(keys)
+    keys = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
+            .to_pandas()["l_orderkey"].unique())
+    ref = ray.put(pa.array(keys))
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
 
     def drop(t: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        mask = [k not in ks for k in t.column("o_orderkey").to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        mask = pc.invert(pc.is_in(t.column("o_orderkey"), value_set=ks))
+        return t.filter(mask)
 
     return ds.map_batches(drop, batch_format="pyarrow")
 

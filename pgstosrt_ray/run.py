@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="reference-compatible flag (NOTE: replicates the "
                         "reference's inverted semantics — it disables "
                         "merging, BluRaySupParserImageSharp.cs:538)")
+    p.add_argument("--tessdata", default=None,
+                   help="model data directory to scan for *.traineddata "
+                        "(O2, TesseractData.cs:47-60)")
+    p.add_argument("--tesseractlanguage", default=None,
+                   help="OCR language; must exist in --tessdata; default "
+                        "= '+'-join of all available (TesseractData.cs:18-45)")
     p.add_argument("--partitions", type=int, default=16)
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--extract-concurrency", type=int, default=None,
@@ -58,10 +64,17 @@ def main(argv: list[str] | None = None) -> int:
             skip_merge=args.skip_merge,
             force_merge_all=args.force_merge_all,
             lang=args.lang,
+            ocr_language=args.tesseractlanguage,
+            tessdata_dir=args.tessdata,
             num_partitions=args.partitions,
             extract_concurrency=args.extract_concurrency
             or max(2, ncpu - 2),
         )
+        if args.tessdata is not None:
+            # fail fast on the driver with the reference's error message
+            # (the same resolution runs again inside each engine)
+            from .models import resolve_language
+            resolve_language(args.tessdata, args.tesseractlanguage)
         metrics = run_checkpointed(args.input, args.output, cfg)
         print(json.dumps(metrics))
         return 0

@@ -54,8 +54,17 @@ class ExtractorEngine:
     the glyph decoder is pure — but the shape is the contract: real OCR
     would load traineddata here, passed via fn_constructor_kwargs)."""
 
-    def __init__(self, language: str = "eng", cache_size: int = 512):
-        self.language = language  # O2 analogue: model selection
+    def __init__(self, language: str | None = "eng", cache_size: int = 512,
+                 tessdata_dir: str | None = None):
+        # O2 model resolution (TesseractData.cs:18-66 semantics): scan
+        # the data dir, validate the wanted language, "+"-join default.
+        # Resolution happens HERE — once per actor/worker — not per
+        # batch; a bad language fails the pool at construction.
+        if tessdata_dir is not None:
+            from ..models import resolve_language
+            self.language = resolve_language(tessdata_dir, language)
+        else:
+            self.language = language or "eng"
         # per-actor decode+OCR memo: duplicate bitmaps are common in
         # subtitle-style streams (merge-run candidates repeat the same
         # RLE buffer), so identical (geometry, palette, buffers) cues
