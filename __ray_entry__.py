@@ -193,4 +193,46 @@ def oracle_sql() -> dict[str, str]:
         f"read_parquet('{corpus}/golden_nomerge.parquet')")
     out["demux_cues"] = ("SELECT * FROM "
                          f"read_parquet('{corpus}/golden_cues.parquet')")
+    out["media_features"] = _media_features_sql(corpus)
     return out
+
+
+def _media_features_sql(corpus: str) -> str:
+    """Exact SQL re-expression of MediaFeatureStage (multimodal.py):
+    magic sniffing over the blob's hex prefix, and the deterministic
+    fake feature = 8 little-endian uint32s of md5(hex(blob)) +
+    md5(md5-hexdigest) divided by 2^32 as FLOAT."""
+    def u32(d: str, base: str) -> str:
+        return (f"(('0x' || substr({d}, (i%4)*8 + 1, 2))::BIGINT"
+                f" + ('0x' || substr({d}, (i%4)*8 + 3, 2))::BIGINT * 256"
+                f" + ('0x' || substr({d}, (i%4)*8 + 5, 2))::BIGINT * 65536"
+                f" + ('0x' || substr({d}, (i%4)*8 + 7, 2))::BIGINT"
+                f" * 16777216)")
+    return f"""
+WITH p AS (
+  SELECT url, hex(html) AS hx, octet_length(html) AS n_bytes
+  FROM read_parquet('{corpus}/pages/*.parquet')
+), h AS (
+  SELECT url, n_bytes, hx, md5(hx) AS h1d FROM p
+), g AS (
+  SELECT url, n_bytes, hx, h1d, md5(h1d) AS h2d FROM h
+)
+SELECT url,
+  CAST(n_bytes AS BIGINT) AS n_bytes,
+  CASE WHEN substr(hx, 1, 4) = '5047' THEN 'PG'
+       WHEN substr(hx, 1, 8) = '4D4B5047' THEN 'MKPG'
+       WHEN substr(hx, 1, 8) = '89504E47' THEN 'PNG'
+       WHEN substr(hx, 1, 6) = '494433'
+            OR substr(hx, 1, 4) = 'FFFB' THEN 'MP3'
+       ELSE '?' END AS magic,
+  CASE WHEN substr(hx, 1, 4) = '5047' THEN 'image'
+       WHEN substr(hx, 1, 8) = '4D4B5047' THEN 'video'
+       WHEN substr(hx, 1, 8) = '89504E47' THEN 'image'
+       WHEN substr(hx, 1, 6) = '494433'
+            OR substr(hx, 1, 4) = 'FFFB' THEN 'audio'
+       ELSE 'unknown' END AS media_type,
+  list_transform(range(8), i -> CAST(
+    {u32("CASE WHEN i < 4 THEN h1d ELSE h2d END", "")}
+    / 4294967296.0 AS FLOAT)) AS feature
+FROM g
+"""

@@ -58,9 +58,14 @@ class MediaFeatureStage:
         if self.has_decoder:  # pragma: no cover
             raise NotImplementedError(
                 "real media decode goes here (PIL/pyav kernel)")
-        # deterministic fake: 8 floats derived from the payload digest
-        digest = hashlib.sha256(data).digest()
-        raw = np.frombuffer(digest[:self.FEATURE_DIM * 4], dtype=np.uint32)
+        # deterministic fake: 8 floats derived from md5 over the
+        # UPPERCASE hex of the payload (+ a second-round md5) — chosen
+        # to be exactly re-expressible in DuckDB (md5/hex take VARCHAR
+        # only), so the driver value-checks this stage end to end
+        hx = data.hex().upper().encode()
+        h1 = hashlib.md5(hx)
+        h2 = hashlib.md5(h1.hexdigest().encode()).digest()
+        raw = np.frombuffer(h1.digest() + h2, dtype="<u4")
         return (raw / np.float64(2**32)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
