@@ -90,58 +90,174 @@ class LshIndexStage:
         return out
 
 
-def lsh_topk(sf_dir: str, k: int = TOP_K, bits: int = 4,
-             probes: int = 8) -> pa.Table:
-    """Approximate top-k: probe the query's bucket plus the ``probes``
-    nearest sign-flip buckets. Returns the same schema as brute force.
+# (sf_dir, bits, index_dir) -> probe-able index; built ONCE per process
+# and reused by every subsequent query — the round-1 version re-bucketed
+# the whole dataset per query
+_LSH_INDEX_CACHE: dict = {}
+_IVF_INDEX_CACHE: dict = {}
 
-    Recall scales with the scanned fraction on unclustered (uniform
-    random) embeddings — the driver's synthetic table is the worst
-    case; on real clustered embeddings the same index prunes far more
-    per unit recall. bits/probes trade scan fraction for recall."""
-    import ray
+
+def build_lsh_index(sf_dir: str, bits: int = 4, dim: int = DIM,
+                    index_dir: str | None = None):
+    """Bucket the embeddings table once and persist it.
+
+    - ``index_dir`` set (the 100 TB path): write hive-partitioned
+      parquet (one directory per bucket); a query then READS ONLY its
+      probed buckets' files — true storage-level pruning.
+    - ``index_dir`` None: materialize the bucketed Dataset in the
+      object store and filter per query (saves the re-bucketing matmul
+      per query; scan still touches all blocks).
+    Returns a probe function: set[int] buckets -> Dataset."""
     import ray.data
-    q = _load_query(sf_dir)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    stage = LshIndexStage(dim=len(q), bits=bits)
-    margins = qn @ stage.planes.T
-    base = int(sum(1 << b for b in range(bits) if margins[b] > 0))
-    flip_order = np.argsort(np.abs(margins))
-    targets = {base}
-    for f in flip_order[:probes]:
-        targets.add(base ^ (1 << int(f)))
+    key = (sf_dir, bits, index_dir)
+    if key in _LSH_INDEX_CACHE:
+        return _LSH_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(LshIndexStage, batch_format="pandas",
                               batch_size=4096, concurrency=2,
-                              fn_constructor_kwargs={"dim": len(q),
+                              fn_constructor_kwargs={"dim": dim,
                                                      "bits": bits})
-    q_ref = ray.put((qn, targets))
+    if index_dir is not None:
+        bucketed.write_parquet(index_dir, partition_cols=["bucket"])
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        qv, tg = ray.get(q_ref)
-        df = df[df["bucket"].isin(tg)]
+        def probe_fn(targets: set[int]):
+            # path-level pruning: only the probed buckets' directories
+            # are ever opened (the storage-side win of the partitioned
+            # index layout)
+            import os
+            dirs = [os.path.join(index_dir, f"bucket={int(t)}")
+                    for t in sorted(targets)]
+            paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+                     for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")]
+            if not paths:
+                return ray.data.from_arrow(pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "embedding": pa.array([], pa.list_(pa.float64()))}))
+            return ray.data.read_parquet(paths)
+    else:
+        mat = bucketed.materialize()
+        probe_fn = _isin_probe(mat, "bucket")
+
+    _LSH_INDEX_CACHE[key] = probe_fn
+    return probe_fn
+
+
+def _isin_probe(mat, col: str):
+    """Probe a materialized, tagged index: arrow is_in filter per
+    batch (no re-bucketing, no per-row Python)."""
+    def probe_fn(targets: set[int]):
+        import pyarrow.compute as pc
+        arr = pa.array(sorted(int(t) for t in targets), pa.int64())
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column(col), value_set=arr))
+
+        return mat.map_batches(keep, batch_format="pyarrow")
+    return probe_fn
+
+
+def _query_buckets(qn: np.ndarray, bits: int, probes: int) -> set[int]:
+    planes = LshIndexStage(dim=len(qn), bits=bits).planes
+    margins = qn @ planes.T
+    base = int(sum(1 << b for b in range(bits) if margins[b] > 0))
+    targets = {base}
+    for f in np.argsort(np.abs(margins))[:probes]:
+        targets.add(base ^ (1 << int(f)))
+    return targets
+
+
+def _topk_of(hits_ds, qn: np.ndarray, k: int) -> pa.Table:
+    def score(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "sim": pd.Series([], dtype="float64")})
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-        sims = m @ qv
         return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "sim": np.round(sims, 6)})
+                             "sim": np.round(m @ qn, 6)})
 
-    hits = bucketed.map_batches(probe, batch_format="pandas").to_pandas()
+    hits = hits_ds.map_batches(score, batch_format="pandas").to_pandas()
     top = hits.sort_values(["sim", "vec_id"],
                            ascending=[False, True]).head(k)
     return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64()),
                      "sim": pa.array(top["sim"].tolist(), pa.float64())})
 
 
+def lsh_topk(sf_dir: str, k: int = TOP_K, bits: int = 4,
+             probes: int = 8, index_dir: str | None = None) -> pa.Table:
+    """Approximate top-k over the persisted LSH index: probe the
+    query's bucket plus the ``probes`` nearest sign-flip buckets.
+
+    Recall scales with the scanned fraction on unclustered (uniform
+    random) embeddings — the driver's synthetic table is the worst
+    case; on real clustered embeddings the same index prunes far more
+    per unit recall. bits/probes trade scan fraction for recall."""
+    q = _load_query(sf_dir)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_fn = build_lsh_index(sf_dir, bits=bits, dim=len(q),
+                               index_dir=index_dir)
+    return _topk_of(probe_fn(_query_buckets(qn, bits, probes)), qn, k)
+
+
+def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
+                    iters: int = 10, seed: int = 11):
+    """IVF coarse index: k-means centroids fitted on a driver-side
+    SAMPLE (small by construction), assignment distributed via
+    ``map_batches`` argmax, cell-tagged dataset materialized once.
+    Returns (centroids (n_cells, dim) unit-norm, probe_fn)."""
+    import ray.data
+    key = (sf_dir, n_cells, seed)
+    if key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    samp = ds.limit(sample).to_pandas()
+    m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(iters):  # spherical k-means on the sample
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+        out = df[["vec_id", "embedding"]].copy()
+        out["cell"] = np.argmax(x @ cent.T, axis=1).astype(np.int64)
+        return out
+
+    mat = ds.map_batches(tag, batch_format="pandas",
+                         batch_size=4096).materialize()
+    _IVF_INDEX_CACHE[key] = (cent, _isin_probe(mat, "cell"))
+    return _IVF_INDEX_CACHE[key]
+
+
+def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = 12,
+             n_cells: int = 32) -> pa.Table:
+    """IVF approximate top-k: scan only the ``nprobe`` cells whose
+    centroids are nearest the query (the classic inverted-file scale
+    path; scan fraction ~ nprobe/n_cells on balanced cells)."""
+    q = _load_query(sf_dir)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cent, probe_fn = build_ivf_index(sf_dir, n_cells=n_cells)
+    order = np.argsort(-(cent @ qn))
+    cells = set(int(c) for c in order[:nprobe])
+    return _topk_of(probe_fn(cells), qn, k)
+
+
 QUERIES = {
     "ann_brute_force": brute_force_topk,
     "ann_lsh": lsh_topk,
+    "ann_ivf": ivf_topk,
 }
 
 
 ORACLE_SQL = {"ann_brute_force": sql_brute_force_topk("")}
-# ann_lsh is approximate by design => rows-only driver check
+# ann_lsh / ann_ivf are approximate by design => rows-only driver checks

@@ -168,6 +168,30 @@ class TestPipelines:
         recall = len(set(approx.vec_id) & set(exact.vec_id)) / len(exact)
         assert recall >= 0.3  # uniform-random embeddings: recall ~ scan frac
 
+    def test_lsh_index_reused_across_queries(self, ray_session):
+        from pgstosrt_ray.pipelines import similarity
+        first = similarity.lsh_topk(SF_DIR).to_pandas()
+        assert (SF_DIR, 4, None) in similarity._LSH_INDEX_CACHE
+        again = similarity.lsh_topk(SF_DIR).to_pandas()  # cache hit path
+        pd.testing.assert_frame_equal(first, again)
+
+    def test_lsh_parquet_index_matches_in_memory(self, ray_session,
+                                                 tmp_path):
+        from pgstosrt_ray.pipelines import similarity
+        mem = similarity.lsh_topk(SF_DIR).to_pandas()
+        disk = similarity.lsh_topk(
+            SF_DIR, index_dir=str(tmp_path / "lshidx")).to_pandas()
+        pd.testing.assert_frame_equal(mem, disk)
+
+    def test_ivf_topk_recall(self, ray_session):
+        from pgstosrt_ray.pipelines import similarity
+        exact = similarity.brute_force_topk(SF_DIR).to_pandas()
+        approx = similarity.ivf_topk(SF_DIR).to_pandas()
+        # cosine top-k vectors point near the query direction, and IVF
+        # cells are directional => recall well above the scan fraction
+        recall = len(set(approx.vec_id) & set(exact.vec_id)) / len(exact)
+        assert recall >= 0.5
+
     def test_embedding_near_dup_symmetric_free(self, ray_session):
         from pgstosrt_ray.pipelines.dedupe import embedding_near_dup_pairs
         pairs = embedding_near_dup_pairs(SF_DIR).to_pandas()
