@@ -143,8 +143,15 @@ def q_hash_join(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
 
     def li_cents(t: pa.Table) -> pa.Table:
-        return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "price_cents": _cents(t.column("l_extendedprice"))})
+        # map-side combine: partial-sum per l_orderkey inside the batch
+        # (~4 lineitems/order) before the join — shrinks the shuffled
+        # probe side with no extra shuffle; the post-join groupby
+        # completes the sum
+        t = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "price_cents": _cents(t.column("l_extendedprice"))})
+        return (pa.TableGroupBy(t, "l_orderkey")
+                .aggregate([("price_cents", "sum")])
+                .rename_columns(["l_orderkey", "price_cents"]))
 
     li = li.map_batches(li_cents, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
@@ -161,6 +168,35 @@ SQL_HASH_JOIN = (
     "GROUP BY o_orderstatus")
 
 
+USER_BUCKETS = 64
+
+
+def _by_user_bucketed(ds, per_user_fn):
+    """Per-user ordered computation, shuffled on hash(user_id) %
+    USER_BUCKETS instead of the raw user_id: the wide op moves
+    small-int keys and pays Ray's per-group overhead per BUCKET
+    (64, a cluster-size knob), not per user (millions at 100 TB);
+    the exact per-user split happens in-process inside each bucket —
+    the same pattern as the flagship's sha1(url)%B assembly."""
+    import numpy as np
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.uint64)
+        b = (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(USER_BUCKETS)
+        return t.append_column("_ub", pa.array(b.astype(np.int32),
+                                               pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_ub"])
+        parts = [per_user_fn(grp) for _, grp in
+                 g.groupby("user_id", sort=True)]
+        return pd.concat(parts, ignore_index=True)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+
+
 # --- M8: ordered forward-fill / lead within key groups -------------------
 def q_window_fill(sf_dir: str):
     import pandas as pd
@@ -171,7 +207,7 @@ def q_window_fill(sf_dir: str):
         g["next_ts"] = g["ts"].shift(-1)
         return g
 
-    return ds.groupby("user_id").map_groups(fill, batch_format="pandas")
+    return _by_user_bucketed(ds, fill)
 
 SQL_WINDOW_FILL = (
     "SELECT event_id, user_id, ts, "
@@ -383,7 +419,7 @@ def q_asof_join(sf_dir: str):
         g["last_purchase_ts"] = purchases.cummax().ffill()
         return g[["event_id", "user_id", "ts", "last_purchase_ts"]]
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _by_user_bucketed(ds, asof)
 
 SQL_ASOF_JOIN = (
     "SELECT event_id, user_id, ts, "
@@ -424,7 +460,7 @@ def q_sessionize(sf_dir: str):
         return out[["user_id", "session_id", "n_events",
                     "start_ts", "end_ts"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _by_user_bucketed(ds, sessions)
 
 SQL_SESSIONIZE = f"""
 WITH flagged AS (
