@@ -50,8 +50,12 @@ def run_bench() -> dict:
         corpus = materialize_corpus("bench", BENCH_URLS, seed=42, heavy=True)
 
     import ray
+    # log_to_driver=False: worker-side log passthrough (incl. Ray's
+    # schema-dedup warnings about the testdata files' pandas metadata)
+    # would otherwise swamp the captured bench output
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -187,11 +187,15 @@ def _by_user_bucketed(ds, per_user_fn):
         return t.append_column("_ub", pa.array(b.astype(np.int32),
                                                pa.int32()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.drop(columns=["_ub"])
         parts = [per_user_fn(grp) for _, grp in
                  g.groupby("user_id", sort=True)]
-        return pd.concat(parts, ignore_index=True)
+        out = pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                   preserve_index=False)
+        # strip pandas metadata: dict-bearing schemas defeat Ray's
+        # block-schema dedup (warning spam in reduce tasks)
+        return out.replace_schema_metadata(None)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
@@ -347,9 +351,10 @@ def q_exact_dedup(sf_dir: str):
     from ..functions.text import md5_fingerprint
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fp(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "fp": md5_fingerprint(df["text"])})
+    def fp(df: pd.DataFrame) -> pa.Table:
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "fp": pa.array(md5_fingerprint(df["text"]),
+                                        pa.string())})
 
     return (ds.map_batches(fp, batch_format="pandas")
             .groupby("fp")
