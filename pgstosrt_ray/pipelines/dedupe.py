@@ -464,9 +464,24 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
         Max("cosine", alias_name="cosine"))
 
 
+def minhash_dedup_keep(sf_dir: str, threshold: float = 0.5):
+    """The end-to-end near-dedup: doc_ids that SURVIVE MinHash-LSH
+    dedup (one keeper — the min doc_id — per connected near-dup
+    cluster). A narrow filter over the cluster labels; no text moves."""
+    import pyarrow.compute as pc
+    clusters = minhash_dedup_clusters(sf_dir, threshold)
+
+    def keepers(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        return t.filter(keep).select(["doc_id"])
+
+    return clusters.map_batches(keepers, batch_format="pyarrow")
+
+
 QUERIES = {
     "minhash_pairs": minhash_candidate_pairs,
     "minhash_clusters": minhash_dedup_clusters,
+    "minhash_dedup_keep": minhash_dedup_keep,
     "simhash_pairs": simhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_verify,
     "embedding_near_dup": embedding_near_dup_pairs,

@@ -366,6 +366,45 @@ SQL_EXACT_DEDUP = (
     "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)")
 
 
+# --- exact dedup, end to end: materialize the DEDUPLICATED corpus ---------
+def q_exact_dedup_keep(sf_dir: str):
+    """documents -> (doc_id, text) keeping the min-doc_id copy of each
+    distinct text. ONE shuffle keyed on hash(fp) % B salted buckets
+    (not the raw fingerprint — one Ray group per distinct text would
+    be corpus-cardinality at scale); in-bucket keeper selection is an
+    in-process pandas drop_duplicates."""
+    import numpy as np
+    import pandas as pd
+    from ..functions.text import md5_fingerprint
+    B = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pa.Table:
+        fps = md5_fingerprint(df["text"])
+        b = np.fromiter((int(f[:8], 16) % B for f in fps),
+                        dtype=np.int32, count=len(fps))
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "text": pa.array(df["text"], pa.string()),
+                         "fp": pa.array(fps, pa.string()),
+                         "_b": pa.array(b, pa.int32())})
+
+    def keep_first(g: pd.DataFrame) -> pa.Table:
+        out = (g.sort_values("doc_id")
+               .drop_duplicates("fp", keep="first")[["doc_id", "text"]])
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "text": pa.array(out["text"], pa.string())})
+
+    return (ds.map_batches(fp, batch_format="pandas")
+            .groupby("_b").map_groups(keep_first, batch_format="pandas"))
+
+
+SQL_EXACT_DEDUP_KEEP = (
+    "SELECT doc_id, text FROM ("
+    "SELECT doc_id, text, "
+    "MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper "
+    "FROM documents) WHERE doc_id = keeper")
+
+
 # --- semi / anti join: broadcast key set + map-side filter -------------
 def _order_custkeys(sf_dir: str):
     import ray
@@ -528,6 +567,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "quality_counts": q_quality_counts,
     "exact_dedup": q_exact_dedup,
+    "exact_dedup_keep": q_exact_dedup_keep,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
     "bpe_token_count": q_bpe_token_count,
@@ -553,6 +593,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "quality_counts": SQL_QUALITY_COUNTS,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "exact_dedup_keep": SQL_EXACT_DEDUP_KEEP,
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,

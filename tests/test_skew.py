@@ -52,6 +52,35 @@ def test_router_chunks_bounded_by_bytes(skewed_pages):
         assert b.num_rows == 1 or sizes <= budget
 
 
+def test_router_identity_random_batches():
+    """Property: for any page batch and any byte budget, concatenating
+    the router's yielded blocks reproduces demux_batch exactly."""
+    from pgstosrt_ray.pipelines.extract import _demux_router
+    from pgstosrt_ray.stages.demux import demux_batch
+    rng = __import__("random").Random(11)
+    for trial in range(10):
+        rows = []
+        t0 = 1_700_000_000_000_000
+        for i in range(rng.randint(1, 6)):
+            kind = rng.random()
+            if kind < 0.2:
+                payload = b"garbage not a stream %d" % i
+            else:
+                payload = FX.sup_payload(
+                    [FX.text_ds(f"r{trial}c{i}", (i + 1) * FX.TICK,
+                                scale=rng.choice([1, 1, 3]))])
+            rows.append((f"https://e.org/{trial}/{i}", t0 + i, payload))
+        pages = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        })
+        budget = rng.choice([1, 1024, 64 * 1024, 10 << 20])
+        blocks = list(_demux_router(pages, block_bytes=budget))
+        assert pa.concat_tables(blocks).equals(demux_batch(pages))
+
+
 def test_skew_lane_byte_identical(ray_session, skewed_pages):
     import ray.data
     pages = pa.table({
