@@ -125,13 +125,23 @@ def run_checkpointed(corpus: str, out_dir: str, cfg=None,
     done = completed_partitions(out_dir)
     t0 = time.perf_counter()
 
+    def _pids_of(batch: pa.Table):
+        # hash each unique url once, then gather (many rows share urls)
+        import numpy as np
+        import pandas as pd
+        codes, uniques = pd.factorize(batch.column("url").to_pandas())
+        per_unique = np.fromiter(
+            (partition_of(u, num_parts) for u in uniques),
+            dtype=np.int32, count=len(uniques))
+        return per_unique[codes]
+
     pages = read_pages(corpus)
     if done:
-        done_frozen = frozenset(done)
+        done_list = sorted(done)
 
         def keep(batch: pa.Table) -> pa.Table:
-            mask = [partition_of(u, num_parts) not in done_frozen
-                    for u in batch.column("url").to_pylist()]
+            import numpy as np
+            mask = ~np.isin(_pids_of(batch), done_list)
             return batch.filter(pa.array(mask, pa.bool_()))
 
         pages = pages.map_batches(keep, batch_format="pyarrow")
@@ -139,9 +149,8 @@ def run_checkpointed(corpus: str, out_dir: str, cfg=None,
     docs = extract_docs(pages, cfg)
 
     def add_pid(batch: pa.Table) -> pa.Table:
-        pids = [partition_of(u, num_parts)
-                for u in batch.column("url").to_pylist()]
-        return batch.append_column("_pid", pa.array(pids, pa.int32()))
+        return batch.append_column(
+            "_pid", pa.array(_pids_of(batch), pa.int32()))
 
     docs_pid = docs.map_batches(add_pid, batch_format="pyarrow")
 
