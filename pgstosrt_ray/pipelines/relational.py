@@ -32,6 +32,9 @@ def _cents(col):
     return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
 
 
+JOIN_PARTITIONS = 16  # hash-shuffle join fan-out; scale with cluster
+
+
 # --- S6: filter by language (MkvUtilities.cs:76-96 analogue) -------------
 def q_lang_filter(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"],
@@ -405,24 +408,17 @@ SQL_EXACT_DEDUP_KEEP = (
     "FROM documents) WHERE doc_id = keeper")
 
 
-# --- semi / anti join: broadcast key set + map-side filter -------------
-def _order_custkeys(sf_dir: str):
-    import ray
-    keys = (_read(sf_dir, "orders", columns=["o_custkey"])
-            .to_pandas()["o_custkey"].unique())
-    return ray.put(pa.array(keys))
-
-
+# --- semi / anti join: Ray-native shuffle semi/anti (both sides can be
+# corpus-sized; a broadcast key set would cap at driver memory). The
+# right side is map-side deduplicated to its distinct keys first, so
+# the shuffle moves (key) rows, not the full table.
 def q_semi_join(sf_dir: str):
-    import ray
-    ref = _order_custkeys(sf_dir)
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-
-    def keep(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        return t.filter(pc.is_in(t.column("c_custkey"), value_set=keys))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    keys = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: pa.TableGroupBy(t, "o_custkey").aggregate([]),
+        batch_format="pyarrow")
+    return ds.join(keys, "left_semi", JOIN_PARTITIONS,
+                   on=("c_custkey",), right_on=("o_custkey",))
 
 SQL_SEMI_JOIN = ("SELECT c_custkey, c_name FROM customer "
                  "WHERE c_custkey IN (SELECT o_custkey FROM orders)")
@@ -430,18 +426,12 @@ SQL_SEMI_JOIN = ("SELECT c_custkey, c_name FROM customer "
 
 def q_anti_join(sf_dir: str):
     """Orders with no lineitems (non-empty at every sf)."""
-    import ray
-    keys = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
-            .to_pandas()["l_orderkey"].unique())
-    ref = ray.put(pa.array(keys))
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-
-    def drop(t: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pc.invert(pc.is_in(t.column("o_orderkey"), value_set=ks))
-        return t.filter(mask)
-
-    return ds.map_batches(drop, batch_format="pyarrow")
+    keys = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda t: pa.TableGroupBy(t, "l_orderkey").aggregate([]),
+        batch_format="pyarrow")
+    return ds.join(keys, "left_anti", JOIN_PARTITIONS,
+                   on=("o_orderkey",), right_on=("l_orderkey",))
 
 SQL_ANTI_JOIN = ("SELECT o_orderkey, o_orderstatus FROM orders "
                  "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)")
