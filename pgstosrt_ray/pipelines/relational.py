@@ -190,15 +190,14 @@ def _by_user_bucketed(ds, per_user_fn):
         return t.append_column("_ub", pa.array(b.astype(np.int32),
                                                pa.int32()))
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # NOTE: must return pandas — an Arrow return from a
+        # batch_format="pandas" map_groups breaks Ray's multi-block
+        # group merge path at higher parallelism (ray 2.49.2)
         g = g.drop(columns=["_ub"])
         parts = [per_user_fn(grp) for _, grp in
                  g.groupby("user_id", sort=True)]
-        out = pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                   preserve_index=False)
-        # strip pandas metadata: dict-bearing schemas defeat Ray's
-        # block-schema dedup (warning spam in reduce tasks)
-        return out.replace_schema_metadata(None)
+        return pd.concat(parts, ignore_index=True)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
@@ -391,11 +390,11 @@ def q_exact_dedup_keep(sf_dir: str):
                          "fp": pa.array(fps, pa.string()),
                          "_b": pa.array(b, pa.int32())})
 
-    def keep_first(g: pd.DataFrame) -> pa.Table:
-        out = (g.sort_values("doc_id")
-               .drop_duplicates("fp", keep="first")[["doc_id", "text"]])
-        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
-                         "text": pa.array(out["text"], pa.string())})
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas return required (see _by_user_bucketed note)
+        return (g.sort_values("doc_id")
+                .drop_duplicates("fp", keep="first")[["doc_id", "text"]]
+                .reset_index(drop=True))
 
     return (ds.map_batches(fp, batch_format="pandas")
             .groupby("_b").map_groups(keep_first, batch_format="pandas"))
