@@ -56,11 +56,27 @@ def _demux_cues(sf_dir: str):
     ds = read_pages(_corpus_for(sf_dir))
     cues = ds.map_batches(demux_batch, batch_format="pyarrow", batch_size=32)
 
+    def _list_min(col, default=0):
+        # vectorized per-row min over a list column: segmented min via
+        # np.minimum.reduceat; empty lists get ``default``
+        import numpy as np
+        arr = col.combine_chunks()
+        offs = arr.offsets.to_numpy()
+        vals = arr.flatten().to_numpy(zero_copy_only=False)
+        starts = (offs[:-1] - offs[0]).astype(np.int64)
+        lens = np.diff(offs)
+        out = np.full(len(lens), default, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any() and len(vals):
+            mins = np.minimum.reduceat(vals, starts[nonempty])
+            out[nonempty] = mins
+        return out.astype(np.int32)
+
     def project(t: pa.Table) -> pa.Table:
         # cue position = (min x, min y) over objects, (0,0) when empty
         # (SURVEY M19, reference GetPosition :695-698)
-        pos_x = [min(xs) if xs else 0 for xs in t.column("obj_x").to_pylist()]
-        pos_y = [min(ys) if ys else 0 for ys in t.column("obj_y").to_pylist()]
+        pos_x = _list_min(t.column("obj_x"))
+        pos_y = _list_min(t.column("obj_y"))
         out = t.select(["url", "seq", "comp_num", "start_ticks",
                         "end_ticks", "width", "height", "n_objects",
                         "forced", "palette_count"])
