@@ -323,37 +323,33 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
 
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     """Exact word-3-gram Jaccard verification of the MinHash candidate
-    pairs. Distributed: only the candidate ID SET (ints, bounded by LSH
-    collisions) is broadcast; texts of candidate docs turn into n-gram
-    hash sets inside ``map_batches``; gram sets attach to pairs via two
-    hash joins; the per-pair Jaccard runs inside ``map_batches`` — no
-    text and no per-pair loop ever reaches the driver."""
-    import ray
+    pairs. Fully distributed: candidate docs are selected by a SEMI
+    JOIN against the pair-id list (nothing reaches the driver, either
+    side can be corpus-sized); their texts turn into n-gram hash sets
+    inside ``map_batches``; gram sets attach to pairs via two hash
+    joins; the per-pair Jaccard runs inside ``map_batches``."""
     cand = minhash_candidate_pairs(sf_dir, threshold=0.2)
     cand = cand.select_columns(["doc_a", "doc_b"]).materialize()
-    need: set[int] = set()
-    for t in cand.iter_batches(batch_format="pyarrow"):
-        need.update(t.column("doc_a").to_pylist())
-        need.update(t.column("doc_b").to_pylist())
-    if not need:
+    if cand.count() == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard3": pa.array([], pa.float64())})
-    need_ref = ray.put(need)
+    ids = cand.map_batches(
+        lambda t: pa.table({"need_id": pa.concat_arrays(
+            [t.column("doc_a").combine_chunks(),
+             t.column("doc_b").combine_chunks()])}),
+        batch_format="pyarrow")
+    need_docs = _read_docs(sf_dir).join(
+        ids, "left_semi", JOIN_PARTITIONS,
+        on=("doc_id",), right_on=("need_id",))
 
     def grams_of(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        ids, blobs = [], []
-        for i, txt in zip(t.column("doc_id").to_pylist(),
-                          t.column("text").to_pylist()):
-            if i in wanted:
-                ids.append(i)
-                blobs.append(word_ngram_hashes(txt, n=3)
-                             .astype(np.int64).tobytes())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+        blobs = [word_ngram_hashes(txt, n=3).astype(np.int64).tobytes()
+                 for txt in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
                          "grams": pa.array(blobs, pa.binary())})
 
-    grams = _read_docs(sf_dir).map_batches(
+    grams = need_docs.map_batches(
         grams_of, batch_format="pyarrow").materialize()
     j1 = cand.join(grams, "inner", JOIN_PARTITIONS,
                    on=("doc_a",), right_on=("doc_id",))
