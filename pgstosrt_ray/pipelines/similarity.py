@@ -175,8 +175,12 @@ def _topk_of(hits_ds, qn: np.ndarray, k: int) -> pa.Table:
                                  "sim": pd.Series([], dtype="float64")})
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "sim": np.round(m @ qn, 6)})
+        sims = np.round(m @ qn, 6)
+        # per-batch partial top-k: only n_batches*k rows ever reach the
+        # driver, not every probed-bucket score
+        order = np.lexsort((df["vec_id"].to_numpy(), -sims))[:k]
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[order],
+                             "sim": sims[order]})
 
     hits = hits_ds.map_batches(score, batch_format="pandas").to_pandas()
     top = hits.sort_values(["sim", "vec_id"],
