@@ -61,3 +61,37 @@ class TestOracle:
         assert all(n >= 0 for n in n_cues)
         texts = golden.column("text").to_pylist()
         assert sum(1 for t in texts if t) > 40  # nearly all non-empty
+
+
+class TestDemuxMetaGolden:
+    def test_demux_meta_rows_matches_stage(self):
+        """golden_cues comes from oracle.demux_meta_rows while the
+        driver query runs stages.demux.demux_batch + projection — pin
+        their equivalence per payload (incl. sentinel rows)."""
+        import pyarrow as pa
+        from pgstosrt_ray import fixtures as FX
+        from pgstosrt_ray.oracle import demux_meta_rows
+        from pgstosrt_ray.stages.demux import demux_batch
+        urls = FX.tiny_corpus_payloads()
+        for url, rows in urls.items():
+            golden = demux_meta_rows(url, rows)
+            pages = pa.table({
+                "url": pa.array([url] * len(rows), pa.string()),
+                "warc_ts": pa.array([r[0] for r in rows], pa.int64())
+                .cast(pa.timestamp("us")),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            })
+            cues = demux_batch(pages)
+            got = []
+            for i in range(cues.num_rows):
+                row = {name: cues.column(name)[i].as_py()
+                       for name in ["url", "seq", "comp_num",
+                                    "start_ticks", "end_ticks", "width",
+                                    "height", "n_objects", "forced",
+                                    "palette_count"]}
+                xs = cues.column("obj_x")[i].as_py()
+                ys = cues.column("obj_y")[i].as_py()
+                row["pos_x"] = min(xs) if xs else 0
+                row["pos_y"] = min(ys) if ys else 0
+                got.append(row)
+            assert got == golden, url
