@@ -81,6 +81,21 @@ def test_actor_mode_byte_identical(ray_session, tiny_dir):
     assert docs == exp
 
 
+@pytest.mark.parametrize("profile,n", [("heavy", 24), ("wide", 12)])
+def test_profiles_byte_identical(ray_session, profile, n):
+    """The heavy (big-bitmap) and wide (many-long-cue) generator
+    profiles — the bench/scaling workloads — also hold byte identity,
+    not just the tiny/default corpus."""
+    d = materialize_corpus(f"e2e-{profile}", n, seed=13, profile=profile,
+                           include_tiny=False)
+    docs = _docs_map(extract_docs(read_pages(d)))
+    golden = read_golden(d)
+    exp = {u: (t, c) for u, t, c in zip(golden.column("url").to_pylist(),
+                                        golden.column("text").to_pylist(),
+                                        golden.column("n_cues").to_pylist())}
+    assert docs == exp
+
+
 def test_skip_merge_config(ray_session, tiny_dir):
     cfg = PipelineConfig(skip_merge=True)
     docs = _docs_map(extract_docs(read_pages(tiny_dir), cfg))
