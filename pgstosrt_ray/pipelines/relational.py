@@ -174,19 +174,19 @@ SQL_HASH_JOIN = (
 USER_BUCKETS = 64
 
 
-def _by_user_bucketed(ds, per_user_fn):
-    """Per-user ordered computation, shuffled on hash(user_id) %
-    USER_BUCKETS instead of the raw user_id: the wide op moves
-    small-int keys and pays Ray's per-group overhead per BUCKET
-    (64, a cluster-size knob), not per user (millions at 100 TB);
-    the exact per-user split happens in-process inside each bucket —
-    the same pattern as the flagship's sha1(url)%B assembly."""
+def _by_key_bucketed(ds, key: str, per_key_fn, buckets: int = USER_BUCKETS):
+    """Per-key ordered computation, shuffled on hash(key) % buckets
+    instead of the raw key: the wide op moves small-int keys and pays
+    Ray's per-group overhead per BUCKET (a cluster-size knob), not per
+    key (millions at 100 TB); the exact per-key split happens
+    in-process inside each bucket — the same pattern as the flagship's
+    sha1(url)%B assembly."""
     import numpy as np
     import pandas as pd
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy().astype(np.uint64)
-        b = (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(USER_BUCKETS)
+        kv = t.column(key).to_numpy().astype(np.uint64)
+        b = (kv * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(buckets)
         return t.append_column("_ub", pa.array(b.astype(np.int32),
                                                pa.int32()))
 
@@ -195,12 +195,15 @@ def _by_user_bucketed(ds, per_user_fn):
         # batch_format="pandas" map_groups breaks Ray's multi-block
         # group merge path at higher parallelism (ray 2.49.2)
         g = g.drop(columns=["_ub"])
-        parts = [per_user_fn(grp) for _, grp in
-                 g.groupby("user_id", sort=True)]
+        parts = [per_key_fn(grp) for _, grp in g.groupby(key, sort=True)]
         return pd.concat(parts, ignore_index=True)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+
+
+def _by_user_bucketed(ds, per_user_fn):
+    return _by_key_bucketed(ds, "user_id", per_user_fn)
 
 
 # --- M8: ordered forward-fill / lead within key groups -------------------
@@ -541,6 +544,117 @@ SQL_TUMBLING_WINDOW = (
     "GROUP BY user_id, date_trunc('hour', ts)")
 
 
+# --- streaming-shaped: hopping (sliding) window aggregate ----------------
+# 60-minute windows hopping every 15 minutes: each event lands in 4
+# overlapping windows (vectorized 4-way expand, then the same partial
+# pre-aggregation groupby as the tumbling window)
+HOP_US = 15 * 60 * 1_000_000
+HOPS_PER_WINDOW = 4
+
+
+def q_hopping_window(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t.column("ts"), multiple=15, unit="minute")
+        vm = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)),
+                     pa.int64())
+        parts = []
+        for i in range(HOPS_PER_WINDOW):
+            ws = pc.subtract(base, pa.scalar(i * HOP_US, pa.duration("us")))
+            parts.append(pa.table({"user_id": t.column("user_id"),
+                                   "window_start": ws,
+                                   "value_milli": vm}))
+        return pa.concat_tables(parts)
+
+    win = ds.map_batches(windows, batch_format="pyarrow")
+    return win.groupby(["user_id", "window_start"]).aggregate(
+        Sum("value_milli", alias_name="sum_value_milli"),
+        Count(alias_name="n_events"))
+
+SQL_HOPPING_WINDOW = (
+    "SELECT user_id, "
+    "time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' "
+    "AS window_start, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) "
+    "AS sum_value_milli, COUNT(*) AS n_events "
+    "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) hops "
+    "GROUP BY user_id, window_start")
+
+
+# --- ranked top-N per group (ROW_NUMBER analogue) ------------------------
+def q_top_orders_per_cust(sf_dir: str, n: int = 3):
+    """Top-3 orders per customer by price with an explicit rank —
+    the ROW_NUMBER window pattern, shuffled on hash(custkey)%64
+    buckets (per-key ranking in-process)."""
+    import numpy as np
+    import pandas as pd
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True])
+             .head(n).reset_index(drop=True))
+        g["rn"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return _by_key_bucketed(ds, "o_custkey", topn)
+
+SQL_TOP_ORDERS_PER_CUST = (
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+    "WHERE rn <= 3")
+
+
+# --- grouped EXACT median via distributed histogram ----------------------
+def q_grouped_median(sf_dir: str):
+    """Exact per-group median of integer cents WITHOUT sorting the
+    corpus or holding a group in memory: per-batch (group, cents)
+    partial counts -> one small groupby -> the driver walks each
+    group's histogram (distinct cents values, bounded by the price
+    domain — NOT the row count). This is the scale shape for exact
+    order statistics over bounded-domain values; unbounded domains
+    take the same pipeline with t-digest sketches (approximate)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "cents": _cents(t.column("l_extendedprice")),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return (pa.TableGroupBy(t2, ["l_returnflag", "cents"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["l_returnflag", "cents", "n"]))
+
+    hist_ds = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby(["l_returnflag", "cents"])
+               .aggregate(Sum("n", alias_name="n")))
+    df = hist_ds.to_pandas()  # small: one row per (flag, distinct cents)
+    flags, medians = [], []
+    for flag, g in df.groupby("l_returnflag", sort=True):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        total = int(cum[-1])
+        lo = float(vals[np.searchsorted(cum, (total - 1) // 2 + 1)])
+        hi = float(vals[np.searchsorted(cum, total // 2 + 1)])
+        flags.append(flag)
+        medians.append((lo + hi) / 2.0)  # DuckDB median: interpolated
+    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                     "median_price_cents": pa.array(medians, pa.float64())})
+
+SQL_GROUPED_MEDIAN = (
+    "SELECT l_returnflag, "
+    "median(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+    "AS median_price_cents FROM lineitem GROUP BY l_returnflag")
+
+
 QUERIES = {
     "lang_filter": q_lang_filter,
     "key_select": q_key_select,
@@ -559,6 +673,9 @@ QUERIES = {
     "exact_dedup_keep": q_exact_dedup_keep,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
+    "hopping_window": q_hopping_window,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "grouped_median": q_grouped_median,
     "bpe_token_count": q_bpe_token_count,
     "rolling_fingerprint": q_rolling_fingerprint,
     "semi_join": q_semi_join,
@@ -585,6 +702,9 @@ ORACLE_SQL = {
     "exact_dedup_keep": SQL_EXACT_DEDUP_KEEP,
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "hopping_window": SQL_HOPPING_WINDOW,
+    "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+    "grouped_median": SQL_GROUPED_MEDIAN,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
