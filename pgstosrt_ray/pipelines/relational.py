@@ -349,6 +349,99 @@ def q_rolling_fingerprint(sf_dir: str):
 # (no SQL oracle: the rolling polynomial hash is not SQL-expressible)
 
 
+# --- deterministic dataset split (train/val/test holdout) ----------------
+def q_train_split(sf_dir: str):
+    """Hash-deterministic ~80/10/10 split: bucket = first 8 hex chars
+    of md5(doc_id-as-string) mod 100 — identical on any engine, stable
+    under reshuffles/reruns (the training-data holdout pattern)."""
+    import hashlib
+    import pandas as pd
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                          16) % 100)
+        split = b.map(lambda x: "train" if x < 80
+                      else ("val" if x < 90 else "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+SQL_TRAIN_SPLIT = (
+    "SELECT doc_id, CASE WHEN b < 80 THEN 'train' "
+    "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+    "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+    "1, 8)) AS BIGINT) % 100 AS b FROM documents)")
+
+
+# --- corpus vocabulary: top-k tokens by occurrence -----------------------
+def q_top_tokens(sf_dir: str, k: int = 100):
+    """Corpus-wide token frequencies: per-batch occurrence counts
+    (map-side combine), one groupby over (token) partials, then
+    per-batch partial top-k of the aggregated table + a bounded driver
+    merge — no global sort, no full vocabulary on the driver."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..functions.text import TOKEN_RE
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(TOKEN_RE)
+        flat = ([t for lst in toks for t in lst])
+        if not flat:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    total = (ds.map_batches(counts, batch_format="pandas")
+             .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["token"].to_numpy(), -df["n"].to_numpy()))
+        return df.iloc[order[:k]]
+
+    parts = total.map_batches(partial_topk,
+                              batch_format="pandas").to_pandas()
+    top = parts.sort_values(["n", "token"],
+                            ascending=[False, True]).head(k)
+    return pa.table({"token": pa.array(top["token"].tolist(), pa.string()),
+                     "n": pa.array(top["n"].tolist(), pa.int64())})
+
+SQL_TOP_TOKENS = (
+    "SELECT token, COUNT(*) AS n FROM ("
+    "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token "
+    "FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 100")
+
+
+# --- quality filter: the apply-the-score pipeline ------------------------
+def q_quality_filter(sf_dir: str):
+    """Documents passing integer-exact quality gates (length window +
+    majority-alpha) — the filter stage a training pipeline runs after
+    scoring; integer arithmetic keeps it engine-exact."""
+    import pandas as pd
+    from ..functions.text import quality_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_counts(df["text"])
+        mask = ((q["n_chars"] >= 50) & (q["n_chars"] <= 20000)
+                & (2 * q["n_alpha"] > q["n_chars"]))
+        return pd.DataFrame({"doc_id": df["doc_id"][mask.to_numpy()]})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+SQL_QUALITY_FILTER = (
+    "SELECT doc_id FROM ("
+    "SELECT doc_id, length(text) AS n_chars, "
+    "length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha "
+    "FROM documents) "
+    "WHERE n_chars >= 50 AND n_chars <= 20000 AND 2 * n_alpha > n_chars")
+
+
 # --- exact dedup: hash-partitioned first-per-group (oracle-checked) ------
 def q_exact_dedup(sf_dir: str):
     import pandas as pd
@@ -677,6 +770,9 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "grouped_median": q_grouped_median,
     "bpe_token_count": q_bpe_token_count,
+    "train_split": q_train_split,
+    "top_tokens": q_top_tokens,
+    "quality_filter": q_quality_filter,
     "rolling_fingerprint": q_rolling_fingerprint,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -706,6 +802,9 @@ ORACLE_SQL = {
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "grouped_median": SQL_GROUPED_MEDIAN,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "train_split": SQL_TRAIN_SPLIT,
+    "top_tokens": SQL_TOP_TOKENS,
+    "quality_filter": SQL_QUALITY_FILTER,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "asof_join": SQL_ASOF_JOIN,
