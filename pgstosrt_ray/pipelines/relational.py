@@ -557,6 +557,79 @@ SQL_ASOF_JOIN = (
     "ROWS UNBOUNDED PRECEDING) AS last_purchase_ts FROM events")
 
 
+# --- range join (SURVEY "custom operators"): banded self-join ------------
+RANGE_US = 5 * 60 * 1_000_000  # 5-minute proximity window
+
+
+def q_event_pairs_range(sf_dir: str, groups: int = USER_BUCKETS):
+    """Pairs of same-user events within 5 minutes of each other — a
+    NON-EQUI (range) join done scalably by time banding: each event
+    lands in bands {b, b+1} (band = ts // 5 min), candidates pair only
+    within salted (user, band) buckets, and a pair is counted exactly
+    once in the bucket of max(band_a, band_b) (its unique shared
+    band), then filtered by the exact |dt| <= 5 min predicate.
+    No all-pairs blowup: work is proportional to events per band."""
+    import numpy as np
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        band = ts_us // RANGE_US
+        n = t.num_rows
+        ev = np.tile(t.column("event_id").to_numpy(), 2)
+        uid = np.tile(t.column("user_id").to_numpy(), 2)
+        ts2 = np.tile(ts_us, 2)
+        ob = np.tile(band, 2)
+        probe = np.concatenate([band, band + 1])
+        with np.errstate(over="ignore"):
+            grp = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    ^ probe.astype(np.uint64) * np.uint64(1099511628211))
+                   % np.uint64(groups)).astype(np.int32)
+        return pa.table({
+            "grp": pa.array(grp, pa.int32()),
+            "user_id": pa.array(uid, pa.int64()),
+            "probe_band": pa.array(probe, pa.int64()),
+            "orig_band": pa.array(ob, pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "ts_us": pa.array(ts2, pa.int64()),
+        })
+
+    buckets = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_a, out_b = [], [], []
+        for (uid, k), cell in g.groupby(["user_id", "probe_band"],
+                                        sort=True):
+            cell = cell.sort_values("event_id")
+            ids = cell["event_id"].to_numpy()
+            if ids.size < 2:
+                continue
+            ts = cell["ts_us"].to_numpy()
+            ob = cell["orig_band"].to_numpy()
+            ia, ib = np.triu_indices(ids.size, k=1)
+            keep = ((np.abs(ts[ia] - ts[ib]) <= RANGE_US)
+                    & (np.maximum(ob[ia], ob[ib]) == k))
+            out_u.append(np.full(int(keep.sum()), uid, dtype=np.int64))
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pd.DataFrame({"user_id": cat(out_u),
+                             "ev_a": cat(out_a).astype("int64"),
+                             "ev_b": cat(out_b).astype("int64")})
+
+    return buckets.groupby("grp").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+
+SQL_EVENT_PAIRS_RANGE = (
+    "SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND a.event_id < b.event_id "
+    "AND b.ts >= a.ts - INTERVAL '5 minutes' "
+    "AND b.ts <= a.ts + INTERVAL '5 minutes'")
+
+
 # --- set op: union all ---------------------------------------------------
 def q_union_all(sf_dir: str):
     r = _read(sf_dir, "region", columns=["r_name"]).map_batches(
@@ -777,6 +850,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "asof_join": q_asof_join,
+    "event_pairs_range": q_event_pairs_range,
     "union_all": q_union_all,
 }
 
@@ -808,5 +882,6 @@ ORACLE_SQL = {
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "asof_join": SQL_ASOF_JOIN,
+    "event_pairs_range": SQL_EVENT_PAIRS_RANGE,
     "union_all": SQL_UNION_ALL,
 }
