@@ -442,7 +442,43 @@ SQL_QUALITY_FILTER = (
     "WHERE n_chars >= 50 AND n_chars <= 20000 AND 2 * n_alpha > n_chars")
 
 
-# --- exact dedup: hash-partitioned first-per-group (oracle-checked) ------
+# --- cardinality: exact COUNT(DISTINCT) + HyperLogLog sketch -------------
+def q_distinct_users_exact(sf_dir: str):
+    """Exact distinct count: map-side unique per batch (combine), then
+    the group count — only unique keys per batch ever shuffle."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    uniq = ds.map_batches(
+        lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
+        batch_format="pyarrow")
+    n = uniq.groupby("user_id").aggregate(Count(alias_name="_c")).count()
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+SQL_DISTINCT_USERS = ("SELECT COUNT(DISTINCT user_id) AS n_users "
+                      "FROM events")
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-count sketch (functions/sketch.py): each
+    batch folds to a 4 KiB register array (the only worker output),
+    arrays max-merge on the driver (bounded by n_batches), estimate
+    computed once. Approximate by design => rows-only driver check;
+    the error bound vs the exact count is pinned by test."""
+    import pandas as pd
+    from ..functions.sketch import estimate, merge_registers, registers_of
+    from ..functions.text import sha1_u64
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def regs(t: pa.Table) -> pa.Table:
+        h = sha1_u64(pd.Series(t.column("user_id").to_pylist()).astype(str))
+        return pa.table({"regs": pa.array([registers_of(h).tobytes()],
+                                          pa.binary())})
+
+    blobs = [b for batch in ds.map_batches(
+        regs, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for b in batch.column("regs").to_pylist()]
+    est = estimate(merge_registers(blobs))
+    return pa.table({"n_users_approx": pa.array([est], pa.float64())})
 def q_exact_dedup(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Count, Min
@@ -846,6 +882,8 @@ QUERIES = {
     "train_split": q_train_split,
     "top_tokens": q_top_tokens,
     "quality_filter": q_quality_filter,
+    "distinct_users_exact": q_distinct_users_exact,
+    "hll_distinct_users": q_hll_distinct_users,
     "rolling_fingerprint": q_rolling_fingerprint,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -879,6 +917,7 @@ ORACLE_SQL = {
     "train_split": SQL_TRAIN_SPLIT,
     "top_tokens": SQL_TOP_TOKENS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "distinct_users_exact": SQL_DISTINCT_USERS,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "asof_join": SQL_ASOF_JOIN,

@@ -109,6 +109,32 @@ class TestTextKernels:
             T.rolling_fingerprint(s).tolist()
 
 
+class TestSketch:
+    def test_hll_accuracy_across_scales(self):
+        from pgstosrt_ray.functions import sketch as S
+        from pgstosrt_ray.functions.text import sha1_u64
+        for n in [100, 5_000, 200_000]:
+            h = sha1_u64(pd.Series(range(n)).astype(str))
+            est = S.estimate(S.registers_of(h))
+            assert abs(est - n) / n < 0.05, (n, est)
+
+    def test_hll_merge_equals_single_pass(self):
+        from pgstosrt_ray.functions import sketch as S
+        from pgstosrt_ray.functions.text import sha1_u64
+        h = sha1_u64(pd.Series(range(10_000)).astype(str))
+        whole = S.registers_of(h)
+        parts = [S.registers_of(h[i::7]) for i in range(7)]
+        merged = S.merge_registers([p.tobytes() for p in parts])
+        assert np.array_equal(whole, merged)  # max-merge associativity
+
+    def test_hll_query_tracks_exact(self, ray_session):
+        from pgstosrt_ray.pipelines import relational as R
+        exact = R.q_distinct_users_exact(SF_DIR).column("n_users")[0].as_py()
+        approx = R.q_hll_distinct_users(SF_DIR) \
+            .column("n_users_approx")[0].as_py()
+        assert abs(approx - exact) / exact < 0.05
+
+
 class TestPipelines:
     def test_minhash_finds_planted_dupes(self, ray_session, tmp_path):
         # plant near-duplicates in a small documents table
