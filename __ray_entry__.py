@@ -92,6 +92,12 @@ def _media_features(sf_dir: str):
     return media_features(read_pages(_corpus_for(sf_dir)))
 
 
+def _media_frame_sample(sf_dir: str):
+    from pgstosrt_ray.pipelines.multimodal import media_frame_sample
+    from pgstosrt_ray.sources.pages import read_pages
+    return media_frame_sample(read_pages(_corpus_for(sf_dir)))
+
+
 def _lang_id(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -133,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_nomerge": _extract_docs_nomerge,
         "demux_cues": _demux_cues,
         "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
         "lang_id": _lang_id,
         "quality_score": _quality_score,
     })

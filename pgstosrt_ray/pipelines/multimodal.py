@@ -93,3 +93,63 @@ def media_features(pages_ds):
     are large, so batch_size is held down to bound actor heap."""
     return pages_ds.map_batches(MediaFeatureStage, batch_format="pyarrow",
                                 batch_size=16, concurrency=2, num_cpus=1)
+
+
+FRAME_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("frame_idx", pa.int32()),      # index among the payload's frames
+    ("start_ms", pa.int64()),
+    ("end_ms", pa.int64()),
+    ("n_bytes", pa.int64()),
+    ("frame_sha", pa.binary()),
+])
+
+
+class FrameSampleStage:
+    """Actor-pool stage: K-evenly-spaced frame sampling for
+    video-typed payloads. The container walk is REAL (MKPG block
+    framing, same layout parse.parse_mkv_container reads); only the
+    pixel decode of a sampled frame would need a media lib. Non-video
+    rows contribute no frames."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..format import MKV_MAGIC, be32
+        cols: dict[str, list] = {n: [] for n in FRAME_SCHEMA.names}
+        for url, data in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            if data[:4] != MKV_MAGIC:
+                continue
+            frames = []   # (start_ms, end_ms, payload) data blocks
+            pos = 4
+            while pos + 12 <= len(data):
+                start_ms = be32(data, pos)
+                end_ms = be32(data, pos + 4)
+                ln = be32(data, pos + 8)
+                blk = data[pos + 12:pos + 12 + ln]
+                if len(blk) > 2:      # data block (gap markers are tiny)
+                    frames.append((start_ms, end_ms, blk))
+                pos += 12 + ln
+            if not frames:
+                continue
+            picks = np.unique(np.linspace(0, len(frames) - 1,
+                                          num=min(self.k, len(frames)),
+                                          dtype=np.int64))
+            for fi in picks:
+                s, e, blk = frames[fi]
+                cols["url"].append(url)
+                cols["frame_idx"].append(int(fi))
+                cols["start_ms"].append(int(s))
+                cols["end_ms"].append(int(e))
+                cols["n_bytes"].append(len(blk))
+                cols["frame_sha"].append(hashlib.sha256(blk).digest())
+        return pa.Table.from_pydict(cols, schema=FRAME_SCHEMA)
+
+
+def media_frame_sample(pages_ds, k: int = 4):
+    """pages -> sampled frame metadata for video payloads."""
+    return pages_ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                                batch_size=16, concurrency=2, num_cpus=1,
+                                fn_constructor_kwargs={"k": k})

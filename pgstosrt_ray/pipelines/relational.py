@@ -442,6 +442,25 @@ SQL_QUALITY_FILTER = (
     "WHERE n_chars >= 50 AND n_chars <= 20000 AND 2 * n_alpha > n_chars")
 
 
+# --- semi-structured extraction: JSON field from the props column --------
+def q_props_extract(sf_dir: str):
+    """Pull the integer ``k`` field out of the JSON ``props`` column —
+    the semi-structured web-data staple, here a vectorized regex (a
+    real JSON kernel slots into the same map at scale)."""
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def ex(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)')[0].astype("int64")
+        return pd.DataFrame({"event_id": df["event_id"], "k_val": k})
+
+    return ds.map_batches(ex, batch_format="pandas")
+
+SQL_PROPS_EXTRACT = (
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) "
+    "AS k_val FROM events")
+
+
 # --- cardinality: exact COUNT(DISTINCT) + HyperLogLog sketch -------------
 def q_distinct_users_exact(sf_dir: str):
     """Exact distinct count: map-side unique per batch (combine), then
@@ -882,6 +901,7 @@ QUERIES = {
     "train_split": q_train_split,
     "top_tokens": q_top_tokens,
     "quality_filter": q_quality_filter,
+    "props_extract": q_props_extract,
     "distinct_users_exact": q_distinct_users_exact,
     "hll_distinct_users": q_hll_distinct_users,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -917,6 +937,7 @@ ORACLE_SQL = {
     "train_split": SQL_TRAIN_SPLIT,
     "top_tokens": SQL_TOP_TOKENS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "props_extract": SQL_PROPS_EXTRACT,
     "distinct_users_exact": SQL_DISTINCT_USERS,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,

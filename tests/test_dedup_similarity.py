@@ -224,6 +224,29 @@ class TestPipelines:
         assert (pairs.doc_a < pairs.doc_b).all()
         assert pairs.cosine.ge(0.35).all()
 
+    def test_media_frame_sample(self, ray_session):
+        import hashlib
+        import pyarrow as pa
+        import ray.data
+        from pgstosrt_ray import fixtures as FX
+        from pgstosrt_ray.pipelines.multimodal import media_frame_sample
+        payload = FX.mkv_payload([(1000 * (i + 1), 1000 * (i + 1) + 500,
+                                   FX.text_ds(f"frame {i}", 0))
+                                  for i in range(9)])
+        pages = pa.table({
+            "url": pa.array(["https://e.org/v", "https://e.org/plain"]),
+            "warc_ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array([payload, b"PG not a container"], pa.binary()),
+        })
+        out = media_frame_sample(ray.data.from_arrow(pages),
+                                 k=4).to_pandas()
+        # only the video row contributes; 4 evenly spaced of 9 frames
+        assert set(out.url) == {"https://e.org/v"}
+        assert sorted(out.frame_idx) == [0, 2, 5, 8]
+        assert sorted(out.start_ms) == [1000, 3000, 6000, 9000]
+        assert (out.n_bytes > 2).all()
+        assert out.frame_sha.map(len).eq(32).all()
+
     def test_media_features_stub(self, ray_session):
         from pgstosrt_ray.pipelines.multimodal import media_features
         from pgstosrt_ray.sources.pages import materialize_corpus, read_pages
