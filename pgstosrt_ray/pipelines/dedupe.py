@@ -35,13 +35,25 @@ import pyarrow as pa
 from ..functions.dedup import (MinHasher, char_shingle_hashes, jaccard,
                                lsh_band_keys_matrix, popcount64, salt_bucket,
                                simhash64, word_ngram_hashes)
+from .reduce import cluster_cpus, join_partitions, shuffle_groups
 
 NUM_PERM = 128
 BANDS = 16
-# salted shuffle-group count for bucket pairing: the ONLY scale knob a
-# bigger cluster needs to raise (e.g. 4-8x the executor count)
-SHUFFLE_GROUPS = 64
-JOIN_PARTITIONS = 16
+# salted shuffle-group count for bucket pairing — derived from the
+# cluster (reduce.shuffle_groups, ~4x CPUs): group count only affects
+# partitioning, never which pairs are generated (each (band, key)
+# bucket maps to exactly one group), so the output is invariant to it
+SHUFFLE_GROUPS = None
+
+
+def _groups(groups) -> int:
+    return groups if groups else shuffle_groups()
+
+
+def _pool_size() -> tuple[int, int]:
+    """Signature-stage actor-pool bounds: autoscale 2..~80% of CPUs
+    (the round-2 hardcoded concurrency=2 starved a 32-CPU node)."""
+    return (2, max(2, round(cluster_cpus() * 0.8)))
 
 PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
@@ -50,6 +62,25 @@ def _read_docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+
+
+def _materialize_nonempty(ds):
+    """materialize() + drop schemaless empty blocks.
+
+    Ray 2.49's JoinOperator emits EMPTY partitions as blocks with an
+    empty schema; downstream ``map_batches`` skips (passes through)
+    empty bundles, and a later join that happens to inspect one of
+    them first dies with ``No match ... for key field reference`` —
+    a nondeterministic flake at high partition counts. Only object
+    REFS pass through the driver here (no block data), so this stays
+    scale-safe."""
+    import ray.data
+    mat = ds.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks if meta.num_rows]
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
 
 
 class MinHashSignatures:
@@ -75,7 +106,7 @@ class MinHashSignatures:
 def _signatures(sf_dir: str):
     return _read_docs(sf_dir).map_batches(
         MinHashSignatures, batch_format="pyarrow", batch_size=256,
-        concurrency=2)
+        concurrency=_pool_size())
 
 
 def _sig_matrix(col) -> np.ndarray:
@@ -139,22 +170,23 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
     # are ~1 KB/doc (~1000x smaller than text), object store can spill
     sigs = _signatures(sf_dir).materialize()
     buckets = sigs.map_batches(
-        functools.partial(_explode_minhash_bands, groups=groups),
+        functools.partial(_explode_minhash_bands, groups=_groups(groups)),
         batch_format="pyarrow")
     # materialize() boundaries keep at most ONE hash-shuffle join per
     # streaming execution: concurrent join aggregator pools can
     # resource-deadlock on small CPU budgets (the pair/bucket tables
     # at the boundaries are the small, collision-bounded ones)
-    cand = _distinct_pairs(buckets.groupby("grp").map_groups(
-        _bucket_pairs, batch_format="pandas")).materialize()
-    with_a = cand.join(sigs, "inner", JOIN_PARTITIONS,
+    cand = _materialize_nonempty(_distinct_pairs(
+        buckets.groupby("grp").map_groups(
+            _bucket_pairs, batch_format="pandas")))
+    with_a = cand.join(sigs, "inner", join_partitions(),
                        on=("doc_a",), right_on=("doc_id",))
-    with_a = with_a.map_batches(
+    with_a = _materialize_nonempty(with_a.map_batches(
         lambda t: pa.table({"doc_a": t.column("doc_a"),
                             "doc_b": t.column("doc_b"),
                             "sig_a": t.column("sig")}),
-        batch_format="pyarrow").materialize()
-    with_b = with_a.join(sigs, "inner", JOIN_PARTITIONS,
+        batch_format="pyarrow"))
+    with_b = with_a.join(sigs, "inner", join_partitions(),
                          on=("doc_b",), right_on=("doc_id",))
 
     def estimate(t: pa.Table) -> pa.Table:
@@ -193,8 +225,8 @@ def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.5,
     the driver; singletons get their label by left-outer join."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
-    edges = _edges_of(
-        minhash_candidate_pairs(sf_dir, threshold)).materialize()
+    edges = _materialize_nonempty(_edges_of(
+        minhash_candidate_pairs(sf_dir, threshold)))
     ids = _read_docs(sf_dir).select_columns(["doc_id"])
     if edges.count() == 0:
         return ids.map_batches(
@@ -208,26 +240,35 @@ def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.5,
             "lbl": pc.min_element_wise(t.column("node"), t.column("lbl")),
         })
 
-    labels = (edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
-              .map_batches(seed_labels, batch_format="pyarrow")
-              .materialize())
+    labels = _materialize_nonempty(
+        edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+        .map_batches(seed_labels, batch_format="pyarrow"))
+    converged = False
     prev_sum = labels.sum("lbl")
     for _ in range(max_rounds):
-        prop = edges.join(labels, "inner", JOIN_PARTITIONS,
+        prop = edges.join(labels, "inner", join_partitions(),
                           on=("node",), right_on=("lnode",))
         prop = prop.map_batches(
             lambda t: pa.table({"lnode": t.column("nbr"),
                                 "lbl": t.column("lbl")}),
             batch_format="pyarrow")
-        merged = (prop.union(labels)
-                  .groupby("lnode").aggregate(Min("lbl", alias_name="lbl"))
-                  .materialize())
+        merged = _materialize_nonempty(
+            prop.union(labels)
+            .groupby("lnode").aggregate(Min("lbl", alias_name="lbl")))
         new_sum = merged.sum("lbl")
         labels = merged
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
-    out = ids.join(labels, "left_outer", JOIN_PARTITIONS,
+    if not converged:
+        # a component with diameter > max_rounds would silently carry
+        # split labels — surface it instead of returning partial labels
+        raise RuntimeError(
+            f"minhash_dedup_clusters: label propagation did not converge "
+            f"within {max_rounds} rounds (a near-dup cluster has diameter "
+            f"> {max_rounds}); raise max_rounds")
+    out = ids.join(labels, "left_outer", join_partitions(),
                    on=("doc_id",), right_on=("lnode",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -284,7 +325,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
         for b in range(4):
             key[b::4] = t.column(f"band{b}").to_numpy()
         return pa.table({
-            "grp": pa.array(salt_bucket(band, key, groups), pa.int32()),
+            "grp": pa.array(salt_bucket(band, key, _groups(groups)),
+                            pa.int32()),
             "band": pa.array(band, pa.int32()),
             "key": pa.array(key, pa.int64()),
             "doc_id": pa.array(doc, pa.int64()),
@@ -329,7 +371,7 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     inside ``map_batches``; gram sets attach to pairs via two hash
     joins; the per-pair Jaccard runs inside ``map_batches``."""
     cand = minhash_candidate_pairs(sf_dir, threshold=0.2)
-    cand = cand.select_columns(["doc_a", "doc_b"]).materialize()
+    cand = _materialize_nonempty(cand.select_columns(["doc_a", "doc_b"]))
     if cand.count() == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
@@ -340,7 +382,7 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
              t.column("doc_b").combine_chunks()])}),
         batch_format="pyarrow")
     need_docs = _read_docs(sf_dir).join(
-        ids, "left_semi", JOIN_PARTITIONS,
+        ids, "left_semi", join_partitions(),
         on=("doc_id",), right_on=("need_id",))
 
     def grams_of(t: pa.Table) -> pa.Table:
@@ -349,17 +391,17 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
                          "grams": pa.array(blobs, pa.binary())})
 
-    grams = need_docs.map_batches(
-        grams_of, batch_format="pyarrow").materialize()
-    j1 = cand.join(grams, "inner", JOIN_PARTITIONS,
+    grams = _materialize_nonempty(need_docs.map_batches(
+        grams_of, batch_format="pyarrow"))
+    j1 = cand.join(grams, "inner", join_partitions(),
                    on=("doc_a",), right_on=("doc_id",))
     # one join per streaming execution (see minhash_candidate_pairs)
-    j1 = j1.map_batches(
+    j1 = _materialize_nonempty(j1.map_batches(
         lambda t: pa.table({"doc_a": t.column("doc_a"),
                             "doc_b": t.column("doc_b"),
                             "grams_a": t.column("grams")}),
-        batch_format="pyarrow").materialize()
-    j2 = j1.join(grams, "inner", JOIN_PARTITIONS,
+        batch_format="pyarrow"))
+    j2 = j1.join(grams, "inner", join_partitions(),
                  on=("doc_b",), right_on=("doc_id",))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -387,6 +429,42 @@ EMB_BITS = 8
 EMB_SEED = 77
 
 
+class EmbeddingBucketStage:
+    """Actor-pool stage: multi-table random-hyperplane bucketing with
+    the (tables*bits, dim) plane matrix built ONCE per actor in
+    ``__init__`` (round 2 regenerated it inside every batch — the
+    per-batch-state-setup anti-pattern)."""
+
+    def __init__(self, tables: int = EMB_TABLES, bits: int = EMB_BITS,
+                 groups: int = 64, dim: int = 64, seed: int = EMB_SEED):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((tables * bits, dim))
+        self.tables, self.bits, self.groups = tables, bits, groups
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in emb.to_pylist()])
+        if m.ndim != 2 or m.shape[0] == 0:
+            m = np.zeros((0, self.planes.shape[1]))
+        signs = (m @ self.planes.T) > 0              # (n, tables*bits)
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        bucket = np.stack(
+            [signs[:, tb * self.bits:(tb + 1) * self.bits] @ weights
+             for tb in range(self.tables)], axis=1)  # (n, tables)
+        n = t.num_rows
+        tab = np.tile(np.arange(self.tables, dtype=np.int32), n)
+        key = bucket.reshape(-1).astype(np.int64)
+        take_idx = np.repeat(np.arange(n), self.tables)
+        return pa.table({
+            "grp": pa.array(salt_bucket(tab, key, self.groups), pa.int32()),
+            "tbl": pa.array(tab, pa.int32()),
+            "bucket": pa.array(key, pa.int64()),
+            "vec_id": t.column("vec_id").take(pa.array(take_idx)),
+            "embedding": emb.combine_chunks().take(pa.array(take_idx)),
+        })
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
                              tables: int = EMB_TABLES, bits: int = EMB_BITS,
                              groups: int = SHUFFLE_GROUPS):
@@ -402,33 +480,11 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
     import ray.data
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        emb = t.column("embedding")
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in emb.to_pylist()])
-        if m.ndim != 2 or m.shape[0] == 0:
-            m = np.zeros((0, 1))
-        rng = np.random.RandomState(EMB_SEED)
-        planes = rng.standard_normal((tables * bits, m.shape[1]))
-        signs = (m @ planes.T) > 0                       # (n, tables*bits)
-        weights = (1 << np.arange(bits, dtype=np.int64))
-        bucket = np.stack([signs[:, tb * bits:(tb + 1) * bits] @ weights
-                           for tb in range(tables)], axis=1)  # (n, tables)
-        n = t.num_rows
-        tab = np.tile(np.arange(tables, dtype=np.int32), n)
-        key = bucket.reshape(-1).astype(np.int64)
-        take_idx = np.repeat(np.arange(n), tables)
-        return pa.table({
-            "grp": pa.array(salt_bucket(tab, key, groups), pa.int32()),
-            "tbl": pa.array(tab, pa.int32()),
-            "bucket": pa.array(key, pa.int64()),
-            "vec_id": t.column("vec_id").take(pa.array(take_idx)),
-            "embedding": emb.combine_chunks().take(pa.array(take_idx)),
-        })
-
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow",
-                             batch_size=4096)
+    buckets = ds.map_batches(
+        EmbeddingBucketStage, batch_format="pyarrow", batch_size=4096,
+        concurrency=_pool_size(),
+        fn_constructor_kwargs={"tables": tables, "bits": bits,
+                               "groups": _groups(groups)})
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []
@@ -440,7 +496,10 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
             m = np.stack([np.asarray(v, dtype=np.float64)
                           for v in cell["embedding"]])
             m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-            sims = m @ m.T
+            # round to 6 decimals BEFORE thresholding: the reported
+            # cosine is then bit-stable across cell shapes / BLAS
+            # call patterns (and golden-oracle comparable)
+            sims = np.round(m @ m.T, 6)
             ia, ib = np.triu_indices(ids.size, k=1)
             keep = sims[ia, ib] >= threshold
             out_a.append(ids[ia][keep])

@@ -88,11 +88,19 @@ class MediaFeatureStage:
         })
 
 
+def _pool_size():
+    """Media-stage actor-pool bounds: autoscale 2..~80% of cluster CPUs
+    (round 2 hardcoded concurrency=2, starving a 32-CPU node)."""
+    from .reduce import cluster_cpus
+    return (2, max(2, round(cluster_cpus() * 0.8)))
+
+
 def media_features(pages_ds):
     """pages -> media metadata + features. Small batches: media blobs
     are large, so batch_size is held down to bound actor heap."""
     return pages_ds.map_batches(MediaFeatureStage, batch_format="pyarrow",
-                                batch_size=16, concurrency=2, num_cpus=1)
+                                batch_size=16, concurrency=_pool_size(),
+                                num_cpus=1)
 
 
 FRAME_SCHEMA = pa.schema([
@@ -151,5 +159,5 @@ class FrameSampleStage:
 def media_frame_sample(pages_ds, k: int = 4):
     """pages -> sampled frame metadata for video payloads."""
     return pages_ds.map_batches(FrameSampleStage, batch_format="pyarrow",
-                                batch_size=16, concurrency=2, num_cpus=1,
-                                fn_constructor_kwargs={"k": k})
+                                batch_size=16, concurrency=_pool_size(),
+                                num_cpus=1, fn_constructor_kwargs={"k": k})

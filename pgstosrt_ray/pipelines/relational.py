@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .reduce import join_partitions, tree_fold_blobs, tree_topk
+
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
     import ray.data
@@ -30,9 +32,6 @@ def _read(sf_dir: str, table: str, columns=None, **kw):
 
 def _cents(col):
     return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
-
-
-JOIN_PARTITIONS = 16  # hash-shuffle join fan-out; scale with cluster
 
 
 # --- S6: filter by language (MkvUtilities.cs:76-96 analogue) -------------
@@ -57,24 +56,14 @@ SQL_KEY_SELECT = ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
 
 # --- R1: deterministic re-sort + top-k (PgsOcr.cs:110 analogue) ----------
 def q_topk_sort(sf_dir: str):
-    """Top-k WITHOUT a global sort: per-batch partial top-k (narrow),
-    then a tiny driver-side merge of n_batches*k rows — the all-to-all
-    a naive ds.sort().limit() would do never happens (SURVEY §4)."""
-    import pandas as pd
+    """Top-k WITHOUT a global sort and WITHOUT a driver merge: per-batch
+    partial top-k, then an in-cluster repartition tree (reduce.tree_topk)
+    — the all-to-all a naive ds.sort().limit() would do never happens,
+    and the driver only ever sees the final k rows (SURVEY §4)."""
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["l_extendedprice", "l_orderkey", "l_linenumber"],
-            ascending=[False, True, True]).head(100)
-
-    parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536).to_pandas()
-    top = parts.sort_values(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        ascending=[False, True, True]).head(100).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return tree_topk(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                     [False, True, True], k=100)
 
 SQL_TOPK_SORT = (
     "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
@@ -158,7 +147,8 @@ def q_hash_join(sf_dir: str):
 
     li = li.map_batches(li_cents, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     return joined.groupby("o_orderstatus").aggregate(
         Sum("price_cents", alias_name="sum_price_cents"))
@@ -174,13 +164,15 @@ SQL_HASH_JOIN = (
 USER_BUCKETS = 64
 
 
-def _by_key_bucketed(ds, key: str, per_key_fn, buckets: int = USER_BUCKETS):
+def _by_key_bucketed(ds, key: str, per_bucket_fn, buckets: int = USER_BUCKETS):
     """Per-key ordered computation, shuffled on hash(key) % buckets
     instead of the raw key: the wide op moves small-int keys and pays
     Ray's per-group overhead per BUCKET (a cluster-size knob), not per
-    key (millions at 100 TB); the exact per-key split happens
-    in-process inside each bucket — the same pattern as the flagship's
-    sha1(url)%B assembly."""
+    key (millions at 100 TB); the exact per-key work happens in-process
+    inside each bucket — the same pattern as the flagship's sha1(url)%B
+    assembly. ``per_bucket_fn`` receives the WHOLE bucket frame and
+    must stay vectorized (pandas groupby(key) transforms — shift /
+    cummax / cumsum / cumcount), never a Python loop over keys."""
     import numpy as np
     import pandas as pd
 
@@ -194,16 +186,14 @@ def _by_key_bucketed(ds, key: str, per_key_fn, buckets: int = USER_BUCKETS):
         # NOTE: must return pandas — an Arrow return from a
         # batch_format="pandas" map_groups breaks Ray's multi-block
         # group merge path at higher parallelism (ray 2.49.2)
-        g = g.drop(columns=["_ub"])
-        parts = [per_key_fn(grp) for _, grp in g.groupby(key, sort=True)]
-        return pd.concat(parts, ignore_index=True)
+        return per_bucket_fn(g.drop(columns=["_ub"]))
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
 
 
-def _by_user_bucketed(ds, per_user_fn):
-    return _by_key_bucketed(ds, "user_id", per_user_fn)
+def _by_user_bucketed(ds, per_bucket_fn):
+    return _by_key_bucketed(ds, "user_id", per_bucket_fn)
 
 
 # --- M8: ordered forward-fill / lead within key groups -------------------
@@ -212,9 +202,11 @@ def q_window_fill(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["next_ts"] = g["ts"].shift(-1)
-        return g
+        # vectorized over the whole bucket: one sort + one grouped shift
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
+        g["next_ts"] = g.groupby("user_id", sort=False)["ts"].shift(-1)
+        return g[["event_id", "user_id", "ts", "next_ts"]]
 
     return _by_user_bucketed(ds, fill)
 
@@ -378,10 +370,10 @@ SQL_TRAIN_SPLIT = (
 # --- corpus vocabulary: top-k tokens by occurrence -----------------------
 def q_top_tokens(sf_dir: str, k: int = 100):
     """Corpus-wide token frequencies: per-batch occurrence counts
-    (map-side combine), one groupby over (token) partials, then
-    per-batch partial top-k of the aggregated table + a bounded driver
-    merge — no global sort, no full vocabulary on the driver."""
-    import numpy as np
+    (map-side combine), one groupby over (token) partials, then an
+    in-cluster top-k repartition tree (reduce.tree_topk) — no global
+    sort, and the driver only ever sees the final k rows (never the
+    vocabulary)."""
     import pandas as pd
     from ray.data.aggregate import Sum
     from ..functions.text import TOKEN_RE
@@ -399,17 +391,7 @@ def q_top_tokens(sf_dir: str, k: int = 100):
 
     total = (ds.map_batches(counts, batch_format="pandas")
              .groupby("token").aggregate(Sum("n", alias_name="n")))
-
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((df["token"].to_numpy(), -df["n"].to_numpy()))
-        return df.iloc[order[:k]]
-
-    parts = total.map_batches(partial_topk,
-                              batch_format="pandas").to_pandas()
-    top = parts.sort_values(["n", "token"],
-                            ascending=[False, True]).head(k)
-    return pa.table({"token": pa.array(top["token"].tolist(), pa.string()),
-                     "n": pa.array(top["n"].tolist(), pa.int64())})
+    return tree_topk(total, ["n", "token"], [False, True], k=k)
 
 SQL_TOP_TOKENS = (
     "SELECT token, COUNT(*) AS n FROM ("
@@ -479,10 +461,13 @@ SQL_DISTINCT_USERS = ("SELECT COUNT(DISTINCT user_id) AS n_users "
 
 def q_hll_distinct_users(sf_dir: str):
     """HyperLogLog distinct-count sketch (functions/sketch.py): each
-    batch folds to a 4 KiB register array (the only worker output),
-    arrays max-merge on the driver (bounded by n_batches), estimate
-    computed once. Approximate by design => rows-only driver check;
-    the error bound vs the exact count is pinned by test."""
+    batch folds to a 4 KiB register array (the only worker output);
+    register arrays max-merge IN-CLUSTER through a repartition tree
+    (reduce.tree_fold_blobs — max is associative+commutative, any
+    merge tree gives the same array), so the driver sees exactly ONE
+    blob regardless of batch count. Value-checked against a golden
+    register array computed by the independent single-threaded oracle
+    (golden.py)."""
     import pandas as pd
     from ..functions.sketch import estimate, merge_registers, registers_of
     from ..functions.text import sha1_u64
@@ -493,10 +478,11 @@ def q_hll_distinct_users(sf_dir: str):
         return pa.table({"regs": pa.array([registers_of(h).tobytes()],
                                           pa.binary())})
 
-    blobs = [b for batch in ds.map_batches(
-        regs, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-        for b in batch.column("regs").to_pylist()]
-    est = estimate(merge_registers(blobs))
+    one = tree_fold_blobs(
+        ds.map_batches(regs, batch_format="pyarrow"), "regs",
+        lambda blobs: merge_registers(blobs).tobytes())
+    blob = one.take_all()[0]["regs"]  # exactly one 4 KiB row
+    est = estimate(merge_registers([blob]))
     return pa.table({"n_users_approx": pa.array([est], pa.float64())})
 def q_exact_dedup(sf_dir: str):
     import pandas as pd
@@ -567,7 +553,7 @@ def q_semi_join(sf_dir: str):
     keys = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         lambda t: pa.TableGroupBy(t, "o_custkey").aggregate([]),
         batch_format="pyarrow")
-    return ds.join(keys, "left_semi", JOIN_PARTITIONS,
+    return ds.join(keys, "left_semi", join_partitions(),
                    on=("c_custkey",), right_on=("o_custkey",))
 
 SQL_SEMI_JOIN = ("SELECT c_custkey, c_name FROM customer "
@@ -580,7 +566,7 @@ def q_anti_join(sf_dir: str):
     keys = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
         lambda t: pa.TableGroupBy(t, "l_orderkey").aggregate([]),
         batch_format="pyarrow")
-    return ds.join(keys, "left_anti", JOIN_PARTITIONS,
+    return ds.join(keys, "left_anti", join_partitions(),
                    on=("o_orderkey",), right_on=("l_orderkey",))
 
 SQL_ANTI_JOIN = ("SELECT o_orderkey, o_orderstatus FROM orders "
@@ -595,12 +581,18 @@ def q_asof_join(sf_dir: str):
                                           "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # vectorized over the whole bucket: grouped cummax carries the
+        # running most-recent purchase ts forward within each user
+        # (NaT rows before the first purchase stay NULL, matching the
+        # SQL window MAX over NULL-skipped rows)
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
         purchases = g["ts"].where(g["event_type"] == "purchase")
-        # cummax leaves NaT at non-purchase rows; forward-fill carries
-        # the running max (matches the SQL window MAX over NULL-skipped
-        # rows); leading rows before any purchase stay NaT/NULL
-        g["last_purchase_ts"] = purchases.cummax().ffill()
+        uid = g["user_id"]
+        # grouped cummax keeps NaT at non-purchase rows; grouped ffill
+        # carries the running max forward within each user
+        g["last_purchase_ts"] = (purchases.groupby(uid, sort=False)
+                                 .cummax().groupby(uid, sort=False).ffill())
         return g[["event_id", "user_id", "ts", "last_purchase_ts"]]
 
     return _by_user_bucketed(ds, asof)
@@ -707,12 +699,19 @@ def q_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        gap = g["ts"].diff().dt.total_seconds().mul(1_000_000)
+        # vectorized over the whole bucket: grouped diff flags session
+        # starts, grouped cumsum numbers sessions per user, one groupby
+        # aggregates — no per-user Python loop
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
+        uid = g["user_id"]
+        gap = (g.groupby(uid, sort=False)["ts"].diff()
+               .dt.total_seconds().mul(1_000_000))
         new_sess = (gap.isna() | (gap > SESSION_GAP_US)).astype("int64")
-        g["session_id"] = new_sess.cumsum()
-        out = g.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"), n_events=("event_id", "count"),
+        g["session_id"] = new_sess.groupby(uid, sort=False).cumsum()
+        out = g.groupby(["user_id", "session_id"], as_index=False,
+                        sort=True).agg(
+            n_events=("event_id", "count"),
             start_ts=("ts", "min"), end_ts=("ts", "max"))
         return out[["user_id", "session_id", "n_events",
                     "start_ts", "end_ts"]]
@@ -815,11 +814,14 @@ def q_top_orders_per_cust(sf_dir: str, n: int = 3):
                columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values(["o_totalprice", "o_orderkey"],
-                           ascending=[False, True])
-             .head(n).reset_index(drop=True))
-        g["rn"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
+        # vectorized over the whole bucket: one sort + grouped cumcount
+        # ranks every customer's orders at once
+        g = (g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True])
+             .reset_index(drop=True))
+        g["rn"] = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g["rn"] = g["rn"].astype("int64")
+        return g[g["rn"] <= n].reset_index(drop=True)
 
     return _by_key_bucketed(ds, "o_custkey", topn)
 

@@ -17,9 +17,18 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .reduce import cluster_cpus, tree_topk
+
 TOP_K = 50
 QUERY_SEED = 7
 DIM = 64
+
+
+def _pool_size() -> tuple[int, int]:
+    """Actor-pool bounds for embedding stages: autoscale from 2 up to
+    ~80% of the cluster's CPUs (the round-2 hardcoded concurrency=2
+    starved a 32-CPU node)."""
+    return (2, max(2, round(cluster_cpus() * 0.8)))
 
 
 def _load_query(sf_dir: str) -> np.ndarray:
@@ -52,9 +61,11 @@ def brute_force_topk(sf_dir: str, k: int = TOP_K) -> pa.Table:
                              "sim": sims[order]})
 
     partials = ds.map_batches(partial_topk, batch_format="pandas",
-                              batch_size=4096).to_pandas()
-    top = partials.sort_values(["sim", "vec_id"],
-                               ascending=[False, True]).head(k)
+                              batch_size=4096)
+    # in-cluster tree merge of the per-batch partials: the driver sees
+    # only the final k rows (round-2's to_pandas() grew with n_batches)
+    top = tree_topk(partials, ["sim", "vec_id"], [False, True],
+                    k=k).to_pandas()
     return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64()),
                      "sim": pa.array(top["sim"].tolist(), pa.float64())})
 
@@ -90,11 +101,22 @@ class LshIndexStage:
         return out
 
 
-# (sf_dir, bits, index_dir) -> probe-able index; built ONCE per process
-# and reused by every subsequent query — the round-1 version re-bucketed
-# the whole dataset per query
+# (sf_dir, bits, index_dir, data fingerprint) -> probe-able index;
+# built ONCE per process and reused by every subsequent query — the
+# round-1 version re-bucketed the whole dataset per query
 _LSH_INDEX_CACHE: dict = {}
 _IVF_INDEX_CACHE: dict = {}
+
+
+def _data_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the embeddings parquet — cheap cache-key
+    component that changes whenever the source file does."""
+    import os
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def build_lsh_index(sf_dir: str, bits: int = 4, dim: int = DIM,
@@ -109,17 +131,30 @@ def build_lsh_index(sf_dir: str, bits: int = 4, dim: int = DIM,
       per query; scan still touches all blocks).
     Returns a probe function: set[int] buckets -> Dataset."""
     import ray.data
-    key = (sf_dir, bits, index_dir)
+    # cache key includes the source fingerprint (mtime+size): an
+    # in-process data change invalidates instead of serving stale rows
+    key = (sf_dir, bits, index_dir, _data_fingerprint(sf_dir))
     if key in _LSH_INDEX_CACHE:
         return _LSH_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(LshIndexStage, batch_format="pandas",
-                              batch_size=4096, concurrency=2,
+                              batch_size=4096, concurrency=_pool_size(),
                               fn_constructor_kwargs={"dim": dim,
                                                      "bits": bits})
     if index_dir is not None:
-        bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+        # build into a fresh temp dir and atomically rename into place:
+        # a rebuild over a non-empty dir must not leave stale part
+        # files for probe_fn to read alongside the new ones
+        import os
+        import shutil
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix=".build-",
+                               dir=os.path.dirname(index_dir) or ".")
+        bucketed.write_parquet(tmp, partition_cols=["bucket"])
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.replace(tmp, index_dir)
 
         def probe_fn(targets: set[int]):
             # path-level pruning: only the probed buckets' directories
@@ -176,15 +211,15 @@ def _topk_of(hits_ds, qn: np.ndarray, k: int) -> pa.Table:
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
         sims = np.round(m @ qn, 6)
-        # per-batch partial top-k: only n_batches*k rows ever reach the
-        # driver, not every probed-bucket score
+        # per-batch partial top-k; the tree below merges the partials
+        # in-cluster so the driver only sees the final k rows
         order = np.lexsort((df["vec_id"].to_numpy(), -sims))[:k]
         return pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[order],
                              "sim": sims[order]})
 
-    hits = hits_ds.map_batches(score, batch_format="pandas").to_pandas()
-    top = hits.sort_values(["sim", "vec_id"],
-                           ascending=[False, True]).head(k)
+    partials = hits_ds.map_batches(score, batch_format="pandas")
+    top = tree_topk(partials, ["sim", "vec_id"], [False, True],
+                    k=k).to_pandas()
     return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64()),
                      "sim": pa.array(top["sim"].tolist(), pa.float64())})
 
@@ -212,7 +247,7 @@ def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
     ``map_batches`` argmax, cell-tagged dataset materialized once.
     Returns (centroids (n_cells, dim) unit-norm, probe_fn)."""
     import ray.data
-    key = (sf_dir, n_cells, seed)
+    key = (sf_dir, n_cells, seed, _data_fingerprint(sf_dir))
     if key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",

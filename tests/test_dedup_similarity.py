@@ -197,7 +197,8 @@ class TestPipelines:
     def test_lsh_index_reused_across_queries(self, ray_session):
         from pgstosrt_ray.pipelines import similarity
         first = similarity.lsh_topk(SF_DIR).to_pandas()
-        assert (SF_DIR, 4, None) in similarity._LSH_INDEX_CACHE
+        fp = similarity._data_fingerprint(SF_DIR)
+        assert (SF_DIR, 4, None, fp) in similarity._LSH_INDEX_CACHE
         again = similarity.lsh_topk(SF_DIR).to_pandas()  # cache hit path
         pd.testing.assert_frame_equal(first, again)
 
