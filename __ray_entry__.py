@@ -217,7 +217,32 @@ def oracle_sql() -> dict[str, str]:
     out["demux_cues"] = ("SELECT * FROM "
                          f"read_parquet('{corpus}/golden_cues.parquet')")
     out["media_features"] = _media_features_sql(corpus)
+    # round-3: the signature/sketch/approximate queries are value-
+    # checked against golden parquet computed by the INDEPENDENT
+    # single-threaded oracle (pgstosrt_ray/golden.py — fresh
+    # implementations of the same seeded algorithms, no shared kernels)
+    from pgstosrt_ray.golden import ensure_goldens
+    gpaths = ensure_goldens("/root/testdata/sf0.01", corpus)
+    for name, cols in _GOLDEN_COLS.items():
+        out[name] = (f"SELECT {cols} FROM "
+                     f"read_parquet('{gpaths[name]}')")
     return out
+
+
+_GOLDEN_COLS = {
+    "minhash_pairs": "doc_a, doc_b, est_jaccard",
+    "minhash_clusters": "doc_id, cluster_id",
+    "minhash_dedup_keep": "doc_id",
+    "simhash_pairs": "doc_a, doc_b, hamming",
+    "ngram_jaccard_pairs": "doc_a, doc_b, jaccard3",
+    "embedding_near_dup": "doc_a, doc_b, cosine",
+    "ann_lsh": "vec_id, sim",
+    "ann_ivf": "vec_id, sim",
+    "rolling_fingerprint": "doc_id, rfp",
+    "hll_distinct_users": "n_users_approx",
+    "media_frame_sample": ("url, frame_idx, start_ms, end_ms, "
+                           "n_bytes, frame_sha"),
+}
 
 
 def _media_features_sql(corpus: str) -> str:
