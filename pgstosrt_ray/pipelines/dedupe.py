@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..functions.dedup import (MinHasher, char_shingle_hashes, jaccard,
                                lsh_band_keys_matrix, popcount64, salt_bucket,
                                simhash64, word_ngram_hashes)
-from .reduce import cluster_cpus, join_partitions, shuffle_groups
+from .reduce import join_partitions, shuffle_groups
 
 NUM_PERM = 128
 BANDS = 16
@@ -49,11 +49,6 @@ SHUFFLE_GROUPS = None
 def _groups(groups) -> int:
     return groups if groups else shuffle_groups()
 
-
-def _pool_size() -> tuple[int, int]:
-    """Signature-stage actor-pool bounds: autoscale 2..~80% of CPUs
-    (the round-2 hardcoded concurrency=2 starved a 32-CPU node)."""
-    return (2, max(2, round(cluster_cpus() * 0.8)))
 
 PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
@@ -83,30 +78,37 @@ def _materialize_nonempty(ds):
     return ray.data.from_arrow_refs(refs)
 
 
-class MinHashSignatures:
-    """Actor-pool stage: warm MinHasher (permutation tables built once
-    per actor — the O1 pattern) computing signatures per batch. Arrow
-    in/out with an explicit schema (stable block schema => no
-    schema-dedup warnings)."""
+SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
 
-    SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
+_HASHER_CACHE: dict[int, MinHasher] = {}
 
-    def __init__(self, num_perm: int = NUM_PERM):
-        self.hasher = MinHasher(num_perm=num_perm)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.hasher.signature(char_shingle_hashes(t))
-                .astype(np.int64).tobytes()
-                for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
-                         "sig": pa.array(sigs, pa.binary())},
-                        schema=self.SCHEMA)
+def _warm_hasher(num_perm: int = NUM_PERM) -> MinHasher:
+    """Per-process MinHasher singleton: permutation tables built once
+    per worker PROCESS and reused across batches. The constructor is
+    cheap (two 128-element randint draws), so stateless tasks with a
+    warm singleton beat an actor pool here — same warm-state
+    guarantee, no pool spin-up per query, elastic up to every CPU
+    (config.py "tasks" mode rationale; actors stay the shape for
+    expensive engines like real OCR)."""
+    if num_perm not in _HASHER_CACHE:
+        _HASHER_CACHE[num_perm] = MinHasher(num_perm=num_perm)
+    return _HASHER_CACHE[num_perm]
+
+
+def _minhash_sig_batch(batch: pa.Table) -> pa.Table:
+    hasher = _warm_hasher()
+    sigs = [hasher.signature(char_shingle_hashes(t))
+            .astype(np.int64).tobytes()
+            for t in batch.column("text").to_pylist()]
+    return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                     "sig": pa.array(sigs, pa.binary())},
+                    schema=SIG_SCHEMA)
 
 
 def _signatures(sf_dir: str):
     return _read_docs(sf_dir).map_batches(
-        MinHashSignatures, batch_format="pyarrow", batch_size=256,
-        concurrency=_pool_size())
+        _minhash_sig_batch, batch_format="pyarrow", batch_size=256)
 
 
 def _sig_matrix(col) -> np.ndarray:
@@ -160,7 +162,8 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
                             groups: int = SHUFFLE_GROUPS):
     """documents -> candidate near-dup pairs with estimated Jaccard.
 
-    shingle -> minhash (actor pool) -> explode to salted (band, key)
+    shingle -> minhash (warm per-process hasher) -> explode to salted
+    (band, key)
     bucket rows (ids only) -> salted groupby -> within-bucket pairs ->
     distinct -> re-attach signatures by hash join -> estimate Jaccard
     from full signatures -> filter >= threshold.
@@ -429,16 +432,25 @@ EMB_BITS = 8
 EMB_SEED = 77
 
 
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
 class EmbeddingBucketStage:
-    """Actor-pool stage: multi-table random-hyperplane bucketing with
-    the (tables*bits, dim) plane matrix built ONCE per actor in
-    ``__init__`` (round 2 regenerated it inside every batch — the
-    per-batch-state-setup anti-pattern)."""
+    """Multi-table random-hyperplane bucketing with the
+    (tables*bits, dim) plane matrix built ONCE per worker process
+    (round 2 regenerated it inside every batch — the
+    per-batch-state-setup anti-pattern). Run as stateless tasks with a
+    process-cached plane matrix: construction is one cheap seeded
+    standard_normal, so tasks + singleton give the warm-state
+    guarantee without actor-pool spin-up per query."""
 
     def __init__(self, tables: int = EMB_TABLES, bits: int = EMB_BITS,
                  groups: int = 64, dim: int = 64, seed: int = EMB_SEED):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((tables * bits, dim))
+        key = (tables, bits, dim, seed)
+        if key not in _PLANES_CACHE:
+            _PLANES_CACHE[key] = np.random.RandomState(
+                seed).standard_normal((tables * bits, dim))
+        self.planes = _PLANES_CACHE[key]
         self.tables, self.bits, self.groups = tables, bits, groups
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -465,6 +477,13 @@ class EmbeddingBucketStage:
         })
 
 
+def _bucketize_batch(t: pa.Table, tables: int, bits: int,
+                     groups: int) -> pa.Table:
+    # module-level task entry: EmbeddingBucketStage() is free after the
+    # first call in a process thanks to the plane cache
+    return EmbeddingBucketStage(tables=tables, bits=bits, groups=groups)(t)
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
                              tables: int = EMB_TABLES, bits: int = EMB_BITS,
                              groups: int = SHUFFLE_GROUPS):
@@ -480,11 +499,10 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
     import ray.data
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    buckets = ds.map_batches(
-        EmbeddingBucketStage, batch_format="pyarrow", batch_size=4096,
-        concurrency=_pool_size(),
-        fn_constructor_kwargs={"tables": tables, "bits": bits,
-                               "groups": _groups(groups)})
+    stage = functools.partial(_bucketize_batch, tables=tables, bits=bits,
+                              groups=_groups(groups))
+    buckets = ds.map_batches(stage, batch_format="pyarrow",
+                             batch_size=4096)
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []

@@ -35,10 +35,17 @@ def cluster_cpus(default: int = 8) -> int:
 
 
 def join_partitions() -> int:
-    """Hash-join fan-out sized from the cluster, not a constant:
-    one partition per CPU (floor 8) keeps every join aggregator busy
-    on any cluster size."""
-    return max(8, cluster_cpus())
+    """Hash-join fan-out sized from the cluster, not a constant.
+
+    Ray's join spawns one hash-aggregator per partition with a real
+    fixed cost, so more partitions is NOT free: measured at 32 CPUs /
+    sf0.1, num_partitions=32 ran the same join ~40% slower than 16
+    (BASELINE.md A/B). Half the CPU count keeps aggregators saturated
+    (each join moves both sides, ~2 inputs per aggregator) while
+    halving the fixed cost; scales up with the cluster for the real
+    balance point: partition count ~ data / target-partition-bytes,
+    capped below by cores."""
+    return max(8, cluster_cpus() // 2)
 
 
 def shuffle_groups() -> int:

@@ -135,15 +135,13 @@ def q_hash_join(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
 
     def li_cents(t: pa.Table) -> pa.Table:
-        # map-side combine: partial-sum per l_orderkey inside the batch
-        # (~4 lineitems/order) before the join — shrinks the shuffled
-        # probe side with no extra shuffle; the post-join groupby
-        # completes the sum
-        t = pa.table({"l_orderkey": t.column("l_orderkey"),
-                      "price_cents": _cents(t.column("l_extendedprice"))})
-        return (pa.TableGroupBy(t, "l_orderkey")
-                .aggregate([("price_cents", "sum")])
-                .rename_columns(["l_orderkey", "price_cents"]))
+        # no map-side combine here: at ~4 lineitems/order a per-batch
+        # TableGroupBy costs more than the ~4x probe-side shrink saves
+        # (A/B'd at sf0.1/32 CPUs: +0.4 s, BASELINE.md). Re-add a
+        # combine when rows-per-key is high enough that shuffle bytes
+        # dominate (the groupby_agg pattern above shows the shape).
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "price_cents": _cents(t.column("l_extendedprice"))})
 
     li = li.map_batches(li_cents, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])

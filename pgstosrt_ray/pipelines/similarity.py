@@ -17,18 +17,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .reduce import cluster_cpus, tree_topk
+from .reduce import tree_topk
 
 TOP_K = 50
 QUERY_SEED = 7
 DIM = 64
 
 
-def _pool_size() -> tuple[int, int]:
-    """Actor-pool bounds for embedding stages: autoscale from 2 up to
-    ~80% of the cluster's CPUs (the round-2 hardcoded concurrency=2
-    starved a 32-CPU node)."""
-    return (2, max(2, round(cluster_cpus() * 0.8)))
+def _lsh_bucket_batch(df, dim: int = 64, bits: int = 8):
+    # module-level task entry: LshIndexStage() is free after the first
+    # call in a process thanks to the plane cache
+    return LshIndexStage(dim=dim, bits=bits)(df)
 
 
 def _load_query(sf_dir: str) -> np.ndarray:
@@ -82,13 +81,23 @@ def sql_brute_force_topk(sf_dir: str, k: int = TOP_K) -> str:
         f"ORDER BY sim DESC, vec_id LIMIT {k}")
 
 
+_LSH_PLANES: dict = {}
+
+
 class LshIndexStage:
-    """Actor-pool stage: random-hyperplane LSH bucketing (planes built
-    once per actor from a fixed seed — the warm-state pattern)."""
+    """Random-hyperplane LSH bucketing with planes built once per
+    worker PROCESS from a fixed seed (warm-state pattern). Run as
+    stateless tasks: the constructor is one cheap seeded
+    standard_normal, so tasks + a process-level plane cache give the
+    same warm guarantee as an actor pool without pool spin-up, and
+    scale elastically to every CPU."""
 
     def __init__(self, dim: int = 64, bits: int = 8, seed: int = 99):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((bits, dim))
+        key = (dim, bits, seed)
+        if key not in _LSH_PLANES:
+            _LSH_PLANES[key] = np.random.RandomState(
+                seed).standard_normal((bits, dim))
+        self.planes = _LSH_PLANES[key]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -138,10 +147,10 @@ def build_lsh_index(sf_dir: str, bits: int = 4, dim: int = DIM,
         return _LSH_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    bucketed = ds.map_batches(LshIndexStage, batch_format="pandas",
-                              batch_size=4096, concurrency=_pool_size(),
-                              fn_constructor_kwargs={"dim": dim,
-                                                     "bits": bits})
+    import functools
+    bucketed = ds.map_batches(
+        functools.partial(_lsh_bucket_batch, dim=dim, bits=bits),
+        batch_format="pandas", batch_size=4096)
     if index_dir is not None:
         # build into a fresh temp dir and atomically rename into place:
         # a rebuild over a non-empty dir must not leave stale part
