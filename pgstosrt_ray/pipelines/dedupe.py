@@ -158,30 +158,42 @@ def _distinct_pairs(pair_ds):
             .select_columns(["doc_a", "doc_b"]))
 
 
-def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
-                            groups: int = SHUFFLE_GROUPS):
-    """documents -> candidate near-dup pairs with estimated Jaccard.
-
-    shingle -> minhash (warm per-process hasher) -> explode to salted
-    (band, key)
-    bucket rows (ids only) -> salted groupby -> within-bucket pairs ->
-    distinct -> re-attach signatures by hash join -> estimate Jaccard
-    from full signatures -> filter >= threshold.
-    """
-    # materialized once: three consumers (band explode + two joins)
-    # would otherwise recompute the shingle/minhash pass; signatures
-    # are ~1 KB/doc (~1000x smaller than text), object store can spill
-    sigs = _signatures(sf_dir).materialize()
+def candidate_ids(sigs, groups: int):
+    """Materialized (doc_id, sig) dataset -> distinct candidate
+    (doc_a, doc_b) id pairs via salted-band bucketing."""
     buckets = sigs.map_batches(
-        functools.partial(_explode_minhash_bands, groups=_groups(groups)),
+        functools.partial(_explode_minhash_bands, groups=groups),
         batch_format="pyarrow")
     # materialize() boundaries keep at most ONE hash-shuffle join per
     # streaming execution: concurrent join aggregator pools can
     # resource-deadlock on small CPU budgets (the pair/bucket tables
     # at the boundaries are the small, collision-bounded ones)
-    cand = _materialize_nonempty(_distinct_pairs(
+    return _materialize_nonempty(_distinct_pairs(
         buckets.groupby("grp").map_groups(
             _bucket_pairs, batch_format="pandas")))
+
+
+def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
+                            groups: int = SHUFFLE_GROUPS):
+    """documents -> candidate near-dup pairs with estimated Jaccard.
+
+    shingle -> minhash (warm per-process hasher) -> explode to salted
+    (band, key) bucket rows (ids only) -> salted groupby ->
+    within-bucket pairs -> distinct -> re-attach signatures by hash
+    join -> estimate Jaccard from full signatures -> filter >=
+    threshold.
+    """
+    # materialized once: three consumers (band explode + two joins)
+    # would otherwise recompute the shingle/minhash pass; signatures
+    # are ~1 KB/doc (~1000x smaller than text), object store can spill
+    sigs = _signatures(sf_dir).materialize()
+    cand = candidate_ids(sigs, _groups(groups))
+    return estimate_pairs(cand, sigs, threshold)
+
+
+def estimate_pairs(cand, sigs, threshold: float):
+    """Candidate id pairs + materialized signature table -> verified
+    (doc_a, doc_b, est_jaccard >= threshold) via two hash joins."""
     with_a = cand.join(sigs, "inner", join_partitions(),
                        on=("doc_a",), right_on=("doc_id",))
     with_a = _materialize_nonempty(with_a.map_batches(
@@ -226,11 +238,17 @@ def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.5,
     groupby-min over the EDGE list only; convergence detected by the
     monotone non-increasing label sum. Nothing corpus-sized reaches
     the driver; singletons get their label by left-outer join."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
     edges = _materialize_nonempty(_edges_of(
         minhash_candidate_pairs(sf_dir, threshold)))
     ids = _read_docs(sf_dir).select_columns(["doc_id"])
+    return label_propagation(edges, ids, max_rounds)
+
+
+def label_propagation(edges, ids, max_rounds: int = 25):
+    """Distributed connected components over a materialized (node,
+    nbr) edge dataset: (doc_id, cluster_id=min id in component)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
     if edges.count() == 0:
         return ids.map_batches(
             lambda t: pa.table({"doc_id": t.column("doc_id"),

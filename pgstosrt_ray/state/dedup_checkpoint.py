@@ -1,0 +1,254 @@
+"""Checkpoint/resume for the MinHash dedup pipeline (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics",
+applied to the OTHER long-running 100 TB job besides extraction).
+
+The two expensive stages persist independently, each with the same
+atomic manifest pattern as the flagship (state/checkpoint.py):
+
+    out_dir/
+      sigs/part=K/data.parquet    # signature rows, sha-hash(doc_id)%P
+      sigs/_manifest/K.json       # lineage + per-stage metrics
+      pairs/grp=G/data.parquet    # candidate edges of salted group G
+      pairs/_manifest/G.json
+
+- Stage 1 (signatures) is the corpus-sized scan (shingle+minhash over
+  every byte of text) — on resume, completed partitions are filtered
+  out AT THE READ so their text is never re-scanned.
+- Stage 2 (candidate pairing) shuffles tiny (band, key, doc_id) rows;
+  on resume, completed salted groups are filtered out before the
+  shuffle.
+- The finish leg (signature re-join -> Jaccard estimate -> label
+  propagation -> keepers) runs from the persisted artifacts; it is
+  cheap relative to stage 1 and rebuilt on every run.
+
+A stage partition/group is complete iff its manifest exists; manifests
+are written atomically (temp + rename) AFTER the data file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .checkpoint import completed_partitions
+
+
+def _write_atomic(dir_path: str, part_id: int, table: pa.Table,
+                  manifest_extra: dict) -> None:
+    pdir = os.path.join(dir_path, f"part={part_id}")
+    mdir = os.path.join(dir_path, "_manifest")
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(mdir, exist_ok=True)
+    data_path = os.path.join(pdir, "data.parquet")
+    tmp = data_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, data_path)
+    manifest = {"part_id": part_id, "n_rows": table.num_rows,
+                "n_bytes": os.path.getsize(data_path),
+                "written_at": time.time(), **manifest_extra}
+    fd, tmp_m = tempfile.mkstemp(dir=mdir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_m, os.path.join(mdir, f"{part_id}.json"))
+
+
+def _pid_of_ids(ids, parts: int):
+    """Stable partition id per doc_id (sha1 of the decimal id — no
+    process hashing, identical across runs/processes)."""
+    import numpy as np
+    return np.fromiter(
+        (int.from_bytes(hashlib.sha1(str(int(i)).encode()).digest()[:8],
+                        "big") % parts for i in ids),
+        dtype=np.int32, count=len(ids))
+
+
+def checkpoint_signatures(sf_dir: str, out_dir: str, parts: int = 16,
+                          fail_after: int | None = None) -> dict:
+    """Stage 1: persist the signature table partition-by-partition,
+    skipping completed partitions at the read."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.dedupe import _minhash_sig_batch, _read_docs
+
+    sig_dir = os.path.join(out_dir, "sigs")
+    done = completed_partitions(sig_dir)
+    t0 = time.perf_counter()
+
+    def sig_with_pid(batch: pa.Table) -> pa.Table:
+        t = _minhash_sig_batch(batch)
+        return t.append_column(
+            "_pid", pa.array(_pid_of_ids(t.column("doc_id").to_pylist(),
+                                         parts), pa.int32()))
+
+    ds = _read_docs(sf_dir)
+    if done:
+        done_list = sorted(done)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            pids = _pid_of_ids(batch.column("doc_id").to_pylist(), parts)
+            mask = ~np.isin(pids, done_list)
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+
+    sig_ds = ds.map_batches(sig_with_pid, batch_format="pyarrow",
+                            batch_size=256)
+
+    if fail_after is not None:
+        # deterministic failure injection: collect + write in order,
+        # crash after K new partitions (test path)
+        buckets: dict[int, list[pa.Table]] = {}
+        for batch in sig_ds.iter_batches(batch_format="pyarrow"):
+            for pid in set(batch.column("_pid").to_pylist()):
+                sub = batch.filter(pc.equal(batch.column("_pid"), pid))
+                buckets.setdefault(pid, []).append(sub.drop_columns(["_pid"]))
+        written = 0
+        for pid in sorted(buckets):
+            tab = pa.concat_tables(buckets[pid]).sort_by("doc_id")
+            _write_atomic(sig_dir, pid, tab, {"stage": "signatures"})
+            written += 1
+            if written >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {written} sig partitions")
+        return {"written": written, "skipped": len(done)}
+
+    def write_group(group: pa.Table) -> pa.Table:
+        pid = group.column("_pid")[0].as_py()
+        t_start = time.perf_counter()
+        tab = group.drop_columns(["_pid"]).sort_by("doc_id")
+        _write_atomic(sig_dir, pid, tab, {
+            "stage": "signatures",
+            "wall_time_s": round(time.perf_counter() - t_start, 4)})
+        return pa.table({"part_id": pa.array([pid], pa.int32())})
+
+    n_written = sig_ds.groupby("_pid").map_groups(
+        write_group, batch_format="pyarrow").count()
+    return {"written": int(n_written), "skipped": len(done),
+            "wall_time_s": round(time.perf_counter() - t0, 3)}
+
+
+def checkpoint_pairs(out_dir: str, groups: int = 32,
+                     fail_after: int | None = None) -> dict:
+    """Stage 2: candidate-pair edges per salted (band, key) shuffle
+    group, persisted group-by-group from the checkpointed signature
+    table; completed groups are filtered before the shuffle."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..pipelines.dedupe import _bucket_pairs, _explode_minhash_bands
+
+    sig_dir = os.path.join(out_dir, "sigs")
+    pair_dir = os.path.join(out_dir, "pairs")
+    done = completed_partitions(pair_dir)
+    t0 = time.perf_counter()
+    sigs = ray.data.read_parquet(os.path.join(sig_dir))
+    buckets = sigs.map_batches(
+        functools.partial(_explode_minhash_bands, groups=groups),
+        batch_format="pyarrow")
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+        buckets = buckets.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t.column("grp"),
+                                                  value_set=done_arr))),
+            batch_format="pyarrow")
+
+    if fail_after is not None:
+        import pandas as pd
+        parts: dict[int, list] = {}
+        for batch in buckets.iter_batches(batch_format="pandas"):
+            for grp, sub in batch.groupby("grp"):
+                parts.setdefault(int(grp), []).append(sub)
+        written = 0
+        for grp in sorted(parts):
+            g = pd.concat(parts[grp], ignore_index=True)
+            pairs = _bucket_pairs(g)
+            _write_atomic(pair_dir, grp,
+                          pa.Table.from_pandas(pairs, preserve_index=False),
+                          {"stage": "pairs"})
+            written += 1
+            if written >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {written} pair groups")
+        return {"written": written, "skipped": len(done)}
+
+    def write_group(g) -> pa.Table:
+        grp = int(g["grp"].iloc[0])
+        t_start = time.perf_counter()
+        pairs = _bucket_pairs(g)
+        n = len(pairs)
+        _write_atomic(pair_dir, grp,
+                      pa.Table.from_pandas(pairs, preserve_index=False), {
+                          "stage": "pairs", "n_input_rows": len(g),
+                          "wall_time_s":
+                          round(time.perf_counter() - t_start, 4)})
+        import pandas as pd
+        return pd.DataFrame({"grp": [grp], "n_pairs": [n]})
+
+    # NOTE: even empty groups write a manifest, so resume knows they
+    # are done (an absent manifest means "not attempted", never
+    # "attempted, no pairs")
+    stats = buckets.groupby("grp").map_groups(
+        write_group, batch_format="pandas").count()
+    return {"written": int(stats), "skipped": len(done),
+            "wall_time_s": round(time.perf_counter() - t0, 3)}
+
+
+def finish_dedup_keep(sf_dir: str, out_dir: str,
+                      threshold: float = 0.5):
+    """Finish leg from persisted artifacts: distinct candidate ids ->
+    signature re-join + Jaccard estimate -> label propagation ->
+    surviving doc_ids. Returns a Dataset."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..pipelines import dedupe
+
+    sigs = ray.data.read_parquet(os.path.join(out_dir, "sigs"))
+    sigs = sigs.select_columns(["doc_id", "sig"]).materialize()
+    pair_files = [os.path.join(out_dir, "pairs", d, "data.parquet")
+                  for d in sorted(os.listdir(os.path.join(out_dir, "pairs")))
+                  if d.startswith("part=")]
+    nonempty = [p for p in pair_files if pq.ParquetFile(p).metadata.num_rows]
+    ids = dedupe._read_docs(sf_dir).select_columns(["doc_id"])
+    if not nonempty:
+        labels = ids.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "cluster_id": t.column("doc_id")}),
+            batch_format="pyarrow")
+    else:
+        cand = dedupe._materialize_nonempty(
+            dedupe._distinct_pairs(ray.data.read_parquet(nonempty)))
+        verified = dedupe.estimate_pairs(cand, sigs, threshold)
+        edges = dedupe._materialize_nonempty(dedupe._edges_of(verified))
+        labels = dedupe.label_propagation(edges, ids)
+
+    def keepers(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        return t.filter(keep).select(["doc_id"])
+
+    return labels.map_batches(keepers, batch_format="pyarrow")
+
+
+def run_checkpointed_dedup(sf_dir: str, out_dir: str,
+                           threshold: float = 0.5, sig_parts: int = 16,
+                           pair_groups: int = 32,
+                           fail_after_sig_parts: int | None = None,
+                           fail_after_pair_groups: int | None = None):
+    """End-to-end resumable MinHash dedup: returns (keepers Dataset,
+    run metrics). Re-running after a crash skips completed signature
+    partitions and pair groups."""
+    m1 = checkpoint_signatures(sf_dir, out_dir, parts=sig_parts,
+                               fail_after=fail_after_sig_parts)
+    m2 = checkpoint_pairs(out_dir, groups=pair_groups,
+                          fail_after=fail_after_pair_groups)
+    keep = finish_dedup_keep(sf_dir, out_dir, threshold)
+    return keep, {"signatures": m1, "pairs": m2}

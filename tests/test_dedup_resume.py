@@ -1,0 +1,85 @@
+"""Kill/resume for the checkpointed MinHash dedup (north_rule
+resumability; round-3 VERDICT item 7): a crash mid-stage leaves atomic
+manifests; the rerun skips completed signature partitions / pair
+groups and the final keep-set equals the non-checkpointed pipeline."""
+
+import os
+
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(ds) -> set[int]:
+    import pyarrow as pa
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return set()
+    return set(pa.concat_tables(tabs).column("doc_id").to_pylist())
+
+
+@pytest.fixture()
+def expected_keepers(ray_session):
+    from pgstosrt_ray.pipelines.dedupe import minhash_dedup_keep
+    return _rows(minhash_dedup_keep(SF_DIR))
+
+
+def test_sig_crash_then_resume(ray_session, tmp_path, expected_keepers):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "dedup")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_signatures(SF_DIR, out, parts=8, fail_after=3)
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    assert len(completed_partitions(os.path.join(out, "sigs"))) == 3
+    # resume: only the remaining 5 partitions are written
+    m = dc.checkpoint_signatures(SF_DIR, out, parts=8)
+    assert m["skipped"] == 3
+    assert m["written"] == 5
+    m2 = dc.checkpoint_pairs(out, groups=16)
+    assert m2["written"] >= 1
+    keep = _rows(dc.finish_dedup_keep(SF_DIR, out))
+    assert keep == expected_keepers
+
+
+def test_pair_crash_then_resume(ray_session, tmp_path, expected_keepers):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    out = str(tmp_path / "dedup")
+    dc.checkpoint_signatures(SF_DIR, out, parts=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_pairs(out, groups=16, fail_after=4)
+    n_done = len(completed_partitions(os.path.join(out, "pairs")))
+    assert n_done == 4
+    m = dc.checkpoint_pairs(out, groups=16)
+    assert m["skipped"] == 4
+    keep = _rows(dc.finish_dedup_keep(SF_DIR, out))
+    assert keep == expected_keepers
+
+
+def test_full_run_matches_pipeline(ray_session, tmp_path, expected_keepers):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    keep_ds, metrics = dc.run_checkpointed_dedup(
+        SF_DIR, str(tmp_path / "dedup"))
+    assert metrics["signatures"]["written"] == 16
+    assert _rows(keep_ds) == expected_keepers
+    # second run is a no-op on both stages
+    keep2, m2 = dc.run_checkpointed_dedup(SF_DIR, str(tmp_path / "dedup"))
+    assert m2["signatures"]["written"] == 0
+    assert m2["signatures"]["skipped"] == 16
+    assert _rows(keep2) == expected_keepers
+
+
+def test_manifests_carry_metrics(ray_session, tmp_path):
+    import json
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "dedup")
+    dc.checkpoint_signatures(SF_DIR, out, parts=4)
+    mdir = os.path.join(out, "sigs", "_manifest")
+    manifests = [json.load(open(os.path.join(mdir, f)))
+                 for f in os.listdir(mdir)]
+    assert len(manifests) == 4
+    for m in manifests:
+        assert m["stage"] == "signatures"
+        assert m["n_rows"] > 0 and m["n_bytes"] > 0
+        assert "wall_time_s" in m
