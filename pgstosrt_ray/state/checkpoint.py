@@ -85,6 +85,57 @@ def write_partition(out_dir: str, part_id: int, table: pa.Table,
                                    f"{part_id}.json"))
 
 
+def stage_metrics(ds) -> list:
+    """Per-stage operator metrics from an EXECUTED dataset's stats:
+    rows/s plus task wall-time p50/p99 per pipeline stage (SURVEY §4's
+    p99-in-the-manifest promise — the 100 TB operator's progress
+    surface, analogue of the reference's per-50-items progress log,
+    PgsOcr.cs:98-101). Walks the stats chain; returns [] when stats
+    are unavailable (e.g. never executed)."""
+    import numpy as np
+    out, seen = [], set()
+
+    def walk(st):
+        if st is None or id(st) in seen:
+            return
+        seen.add(id(st))
+        for p in (getattr(st, "parents", None) or []):
+            walk(p)
+        for name, blocks in (getattr(st, "metadata", None) or {}).items():
+            walls = np.array([b.exec_stats.wall_time_s for b in blocks
+                              if b.exec_stats is not None])
+            rows = sum(b.num_rows or 0 for b in blocks)
+            if not len(walls):
+                continue
+            out.append({
+                "stage": name,
+                "n_blocks": int(len(walls)),
+                "rows": int(rows),
+                "wall_p50_s": round(float(np.percentile(walls, 50)), 5),
+                "wall_p99_s": round(float(np.percentile(walls, 99)), 5),
+                "wall_max_s": round(float(walls.max()), 5),
+                "wall_sum_s": round(float(walls.sum()), 5),
+                "rows_per_s": (round(rows / walls.sum(), 1)
+                               if walls.sum() else None),
+            })
+
+    try:
+        walk(ds._plan.stats())
+    except Exception:
+        return []
+    return out
+
+
+def write_run_manifest(out_dir: str, run: dict) -> None:
+    """Atomic run-level manifest (stage metrics + totals) alongside
+    the per-partition manifests."""
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_manifest_dir(out_dir))
+    with os.fdopen(fd, "w") as f:
+        json.dump(run, f, indent=1)
+    os.replace(tmp, os.path.join(_manifest_dir(out_dir), "_run.json"))
+
+
 def read_output(out_dir: str) -> pa.Table:
     """Read back all completed partitions as one table."""
     parts = []
@@ -187,8 +238,13 @@ def run_checkpointed(corpus: str, out_dir: str, cfg=None,
         return pa.table({"part_id": pa.array([pid], pa.int32()),
                          "n_rows": pa.array([table.num_rows], pa.int64())})
 
-    manifest_rows = docs_pid.groupby("_pid").map_groups(
-        write_group, batch_format="pyarrow").to_pandas()
-    return {"written_partitions": int(len(manifest_rows)),
-            "skipped_partitions": len(done),
-            "wall_time_s": round(time.perf_counter() - t0, 3)}
+    mds = docs_pid.groupby("_pid").map_groups(
+        write_group, batch_format="pyarrow")
+    manifest_rows = mds.to_pandas()
+    run = {"written_partitions": int(len(manifest_rows)),
+           "skipped_partitions": len(done),
+           "wall_time_s": round(time.perf_counter() - t0, 3)}
+    # run-level manifest with per-stage rows/s + p50/p99 task times
+    write_run_manifest(out_dir, {**run, "stages": stage_metrics(mds),
+                                 "written_at": time.time()})
+    return run

@@ -58,3 +58,27 @@ def test_partition_assignment_stable(ray_session):
     assert partition_of("https://example.org/x", 16) == \
         partition_of("https://example.org/x", 16)
     assert 0 <= partition_of("anything", 16) < 16
+
+
+def test_run_manifest_has_stage_metrics(ray_session, small_dir, tmp_path):
+    """SURVEY §4: the run manifest carries per-stage rows/s and task
+    wall-time percentiles (p50/p99) — the 100 TB progress surface."""
+    import json
+    import os
+
+    from pgstosrt_ray.state.checkpoint import run_checkpointed
+    out = str(tmp_path / "out")
+    run_checkpointed(small_dir, out)
+    path = os.path.join(out, "_manifest", "_run.json")
+    assert os.path.exists(path)
+    run = json.load(open(path))
+    assert run["written_partitions"] > 0
+    stages = run["stages"]
+    assert len(stages) >= 1
+    for st in stages:
+        for field in ("stage", "rows", "wall_p50_s", "wall_p99_s",
+                      "rows_per_s", "n_blocks"):
+            assert field in st, (st, field)
+    # the extract stage must be among the reported stages
+    assert any("xtract" in st["stage"] or "MapBatches" in st["stage"]
+               for st in stages)
