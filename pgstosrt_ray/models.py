@@ -46,3 +46,28 @@ def resolve_language(data_dir: str, wanted: str | None = None) -> str:
     if languages:
         return default_language(languages)
     raise ValueError("No tesseract language data files found.")
+
+
+# the engine majors this pipeline's glyph decoder is validated against
+# (the reference accepts tesseract major 4 or 5 and forces 5 on
+# Windows, Runner.cs:55-76; our fixture-defined engine versions its
+# glyph table the same way)
+SUPPORTED_ENGINE_MAJORS = (4, 5)
+ENGINE_VERSION = "5.0.0-glyph"
+
+
+def validate_engine_version(version: str | None = None) -> str:
+    """Engine-version preflight (Runner.cs:55-76 analogue): accept a
+    supported major, reject anything else BEFORE the pool spins up —
+    a misconfigured engine must fail the run at construction, not
+    produce wrong text across 10^12 rows."""
+    v = version or ENGINE_VERSION
+    try:
+        major = int(v.split(".", 1)[0])
+    except ValueError:
+        raise ValueError(f"Unparseable engine version: {v!r}")
+    if major not in SUPPORTED_ENGINE_MAJORS:
+        raise ValueError(
+            f"Unsupported engine major {major} (version {v!r}); "
+            f"supported: {SUPPORTED_ENGINE_MAJORS}")
+    return v

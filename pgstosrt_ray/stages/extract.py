@@ -60,6 +60,10 @@ class ExtractorEngine:
         # the data dir, validate the wanted language, "+"-join default.
         # Resolution happens HERE — once per actor/worker — not per
         # batch; a bad language fails the pool at construction.
+        # engine-version preflight (Runner.cs:55-76 analogue): fail
+        # the pool at construction on an unsupported engine
+        from ..models import validate_engine_version
+        self.engine_version = validate_engine_version()
         if tessdata_dir is not None:
             from ..models import resolve_language
             self.language = resolve_language(tessdata_dir, language)

@@ -51,3 +51,26 @@ def test_engine_resolves_in_constructor(tessdata):
 
 def test_engine_default_without_dir():
     assert ExtractorEngine().language == "eng"
+
+
+class TestEngineVersion:
+    def test_default_version_accepted(self):
+        from pgstosrt_ray.models import ENGINE_VERSION, validate_engine_version
+        assert validate_engine_version() == ENGINE_VERSION
+
+    def test_supported_majors(self):
+        from pgstosrt_ray.models import validate_engine_version
+        assert validate_engine_version("4.1.1") == "4.1.1"
+        assert validate_engine_version("5.3.0") == "5.3.0"
+
+    def test_unsupported_major_rejected(self):
+        import pytest
+        from pgstosrt_ray.models import validate_engine_version
+        with pytest.raises(ValueError, match="Unsupported engine major"):
+            validate_engine_version("3.0.5")
+
+    def test_garbage_version_rejected(self):
+        import pytest
+        from pgstosrt_ray.models import validate_engine_version
+        with pytest.raises(ValueError, match="Unparseable"):
+            validate_engine_version("not-a-version")
