@@ -129,11 +129,13 @@ def _quality_score(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pgstosrt_ray.pipelines import dedupe, relational, similarity
+    from pgstosrt_ray.pipelines import (dedupe, extended, relational,
+                                        similarity)
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
     out.update(dedupe.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(extended.QUERIES)
     out.update({
         "extract_docs": _extract_docs,
         "extract_docs_nomerge": _extract_docs_nomerge,
@@ -198,11 +200,13 @@ FROM q
 
 
 def oracle_sql() -> dict[str, str]:
-    from pgstosrt_ray.pipelines import dedupe, relational, similarity
+    from pgstosrt_ray.pipelines import (dedupe, extended, relational,
+                                        similarity)
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     out.update(dedupe.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
+    out.update(extended.ORACLE_SQL)
     out["lang_id"] = SQL_LANG_ID
     out["quality_score"] = SQL_QUALITY_SCORE
     # flagship oracles: the deterministic golden parquet written by the
@@ -240,6 +244,7 @@ _GOLDEN_COLS = {
     "ann_ivf": "vec_id, sim",
     "rolling_fingerprint": "doc_id, rfp",
     "hll_distinct_users": "n_users_approx",
+    "approx_quantiles": "q, est_cents",
     "media_frame_sample": ("url, frame_idx, start_ms, end_ms, "
                            "n_bytes, frame_sha"),
 }

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v1"
+GOLDEN_VERSION = "v2"
 U64 = np.uint64
 MASK64 = (1 << 64) - 1
 FNV_PRIME = 1099511628211
@@ -378,6 +378,32 @@ def golden_hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     return pa.table({"n_users_approx": pa.array([float(est)], pa.float64())})
 
 
+# ----------------------------------------------- log-histogram quantiles
+def golden_approx_quantiles(sf_dir: str) -> pa.Table:
+    """Independent re-computation of the log-histogram quantile sketch
+    (pipelines/extended.py q_approx_quantiles): same bucket formula
+    floor(16*log2(cents)), same rank rule, same midpoint estimate —
+    computed from a single-threaded full histogram."""
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_extendedprice"])
+    prices = np.asarray(t.column("l_extendedprice").to_pylist(),
+                        dtype=np.float64)
+    cents = np.round(prices * 100.0).astype(np.int64)
+    buckets = np.floor(np.log2(cents.astype(np.float64)) * 16)\
+        .astype(np.int64)
+    b, n = np.unique(buckets, return_counts=True)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    qs, ests = [], []
+    for q in (0.5, 0.9, 0.99):
+        rank = int(np.ceil(q * total))
+        bk = int(b[np.searchsorted(cum, rank)])
+        qs.append(q)
+        ests.append(float(2.0 ** ((bk + 0.5) / 16)))
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "est_cents": pa.array(ests, pa.float64())})
+
+
 # ------------------------------------------------------- frame sampling
 _FRAME_SCHEMA = pa.schema([
     ("url", pa.string()), ("frame_idx", pa.int32()),
@@ -436,6 +462,7 @@ GOLDEN_BUILDERS = {
     "ann_ivf": (golden_ann_ivf, "sf"),
     "rolling_fingerprint": (golden_rolling_fingerprint, "sf"),
     "hll_distinct_users": (golden_hll_distinct_users, "sf"),
+    "approx_quantiles": (golden_approx_quantiles, "sf"),
     "media_frame_sample": (golden_media_frame_sample, "corpus"),
 }
 

@@ -1,0 +1,361 @@
+"""Round-3 operator surface growth: join-type completion (left/full
+outer, cross), unnest/inverted-index, deterministic per-key sampling,
+rollup, string normalization, log-histogram quantile sketch, grouped
+distinct counts. Same contract as pipelines/relational.py: every query
+has a DuckDB oracle (or an independent golden, for the sketch) with
+identical column names/types.
+
+Scale notes are inline; the shared rules: pruned reads, partial
+aggregation before every shuffle, per-key work bucketed on
+hash(key) % B (never raw high-cardinality keys), joins via
+``join_partitions()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .reduce import join_partitions
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, **kw)
+
+
+# --- J-family completion: LEFT OUTER join --------------------------------
+def q_left_outer_join(sf_dir: str):
+    """Customers with their order count INCLUDING zero-order customers
+    (the missing-side semantics inner joins drop). Right side is
+    pre-aggregated to (key, count) before the shuffle."""
+    from ray.data.aggregate import Count
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    counts = (_read(sf_dir, "orders", columns=["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n")))
+    j = cust.join(counts, "left_outer", join_partitions(),
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t.column("n"), pa.scalar(0, pa.int64()))
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_name": t.column("c_name"),
+                         "n_orders": n.cast(pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LEFT_OUTER_JOIN = (
+    "SELECT c_custkey, c_name, COALESCE(o.n, 0) AS n_orders "
+    "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
+    "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey")
+
+
+# --- J-family completion: FULL OUTER join --------------------------------
+def q_full_outer_join(sf_dir: str):
+    """Per-nation customer vs supplier counts, keeping nations present
+    on either side only (both inputs pre-aggregated: the full-outer
+    shuffle moves one row per nation, not per customer)."""
+    from ray.data.aggregate import Count
+    cust = (_read(sf_dir, "customer", columns=["c_nationkey"])
+            .groupby("c_nationkey").aggregate(Count(alias_name="n_cust")))
+    supp = (_read(sf_dir, "supplier", columns=["s_nationkey"])
+            .groupby("s_nationkey").aggregate(Count(alias_name="n_supp")))
+    j = cust.join(supp, "full_outer", join_partitions(),
+                  on=("c_nationkey",), right_on=("s_nationkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join emits ONE merged key column under the
+        # left-side name (already coalesced across sides)
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "n_cust": pc.coalesce(t.column("n_cust"), zero).cast(pa.int64()),
+            "n_supp": pc.coalesce(t.column("n_supp"), zero).cast(pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_JOIN = (
+    "SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey, "
+    "COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp "
+    "FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer "
+    "GROUP BY c_nationkey) c FULL OUTER JOIN "
+    "(SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier "
+    "GROUP BY s_nationkey) s ON c.c_nationkey = s.s_nationkey")
+
+
+# --- J-family completion: broadcast CROSS join ---------------------------
+def q_cross_join(sf_dir: str):
+    """region x nation name pairs: the tiny side is broadcast once
+    (ray.put) and each batch expands vectorized — a cross join never
+    shuffles when one side fits in memory."""
+    import ray
+    regions = _read(sf_dir, "region", columns=["r_name"]).to_pandas()
+    r_ref = ray.put(regions["r_name"].to_numpy())
+    ds = _read(sf_dir, "nation", columns=["n_name"])
+
+    def cross(t: pa.Table) -> pa.Table:
+        r = ray.get(r_ref)
+        n = t.column("n_name").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array(np.repeat(r, len(n)), pa.string()),
+            "n_name": pa.array(np.tile(n, len(r)), pa.string()),
+        })
+
+    return ds.map_batches(cross, batch_format="pyarrow")
+
+
+SQL_CROSS_JOIN = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+# --- unnest / explode ----------------------------------------------------
+def q_unnest_tokens(sf_dir: str):
+    """documents -> one row per whitespace token (the flat_map /
+    UNNEST shape): vectorized explode via str.findall + np.repeat."""
+    from ..functions.text import TOKEN_RE
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "token": [t for lst in toks for t in lst]})
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+SQL_UNNEST_TOKENS = (
+    "SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token "
+    "FROM documents")
+
+
+TOKEN_BUCKETS = 64
+
+
+def q_inverted_index(sf_dir: str, buckets: int = TOKEN_BUCKETS):
+    """Corpus inverted index: token -> sorted distinct posting list +
+    document frequency. The training-data retrieval staple. Shuffle is
+    bucketed on md5(token) % B (a knob), never one Ray group per token
+    (vocabulary-cardinality at 100 TB); per-bucket posting-list build
+    is an in-process pandas groupby. Postings per token are bounded by
+    document frequency — for stop-word-like tokens at corpus scale,
+    cap or split postings per token (documented limit)."""
+    from ..functions.text import TOKEN_RE
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(TOKEN_RE).map(
+            lambda lst: sorted(set(lst)))
+        lens = toks.str.len().to_numpy()
+        flat = [t for lst in toks for t in lst]
+        b = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+             % buckets for t in flat), dtype=np.int32, count=len(flat))
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "token": flat, "_b": b})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", sort=True)["doc_id"].agg(
+            lambda s: sorted(set(int(x) for x in s)))
+        return pd.DataFrame({
+            "token": agg.index.to_numpy(),
+            "postings": agg.to_numpy(),
+            "n_docs": agg.str.len().astype("int64").to_numpy()})
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("_b").map_groups(build, batch_format="pandas"))
+
+
+SQL_INVERTED_INDEX = (
+    "SELECT token, list_sort(list(DISTINCT doc_id)) AS postings, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ("
+    "SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token "
+    "FROM documents) GROUP BY token")
+
+
+# --- deterministic per-key sampling (cap per key) ------------------------
+def q_sample_per_key(sf_dir: str, n: int = 2):
+    """Keep at most n events per user, chosen by a deterministic
+    content hash (md5 of the event id) — the 'cap documents per
+    domain' sampling pattern: stable under reruns and row order, no
+    RNG state to coordinate. Bucketed shuffle, vectorized ranking."""
+    from .relational import _by_key_bucketed
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["event_id"].map(
+            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest())
+        g = g.assign(_k=key).sort_values(["user_id", "_k", "event_id"])
+        rn = g.groupby("user_id", sort=False).cumcount()
+        return (g[rn.to_numpy() < n][["event_id", "user_id"]]
+                .reset_index(drop=True))
+
+    return _by_key_bucketed(ds, "user_id", cap)
+
+
+SQL_SAMPLE_PER_KEY = (
+    "SELECT event_id, user_id FROM ("
+    "SELECT event_id, user_id, ROW_NUMBER() OVER ("
+    "PARTITION BY user_id "
+    "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
+    "FROM events) WHERE rn <= 2")
+
+
+# --- rollup (multi-level aggregate) --------------------------------------
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the leaf level is
+    one distributed groupby; the coarser levels derive from the LEAF
+    aggregate (25ish rows), never from a second corpus scan."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus"])
+    leaf = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n"))
+
+    def widen(t: pa.Table) -> pa.Table:
+        # leaf is tiny (distinct pair count): derive flag-level and
+        # grand-total rows in one pass
+        df = t.to_pandas()
+        lvl1 = (df.groupby("l_returnflag", as_index=False)["n"].sum())
+        lvl1["l_linestatus"] = None
+        total = pd.DataFrame({"l_returnflag": [None],
+                              "l_linestatus": [None],
+                              "n": [df["n"].sum()]})
+        out = pd.concat([df, lvl1[["l_returnflag", "l_linestatus", "n"]],
+                         total], ignore_index=True)
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "n": pa.array(out["n"].astype("int64"), pa.int64())})
+
+    return leaf.repartition(1).map_batches(widen, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+SQL_ROLLUP_COUNTS = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+
+
+# --- string normalization ------------------------------------------------
+def q_normalize_text(sf_dir: str):
+    """Canonical text form (lowercase, whitespace collapsed, trimmed)
+    — the pre-dedup normalization pass; same regex on both engines."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["text"].str.lower()
+             .str.replace(r"\s+", " ", regex=True).str.strip())
+        return pd.DataFrame({"doc_id": df["doc_id"], "norm_text": t})
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+SQL_NORMALIZE_TEXT = (
+    "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+    "AS norm_text FROM documents")
+
+
+# --- log-histogram quantile sketch ---------------------------------------
+QSK_BITS = 16  # sub-buckets per octave => relative error <= 2^(1/16)-1
+
+
+def _qsk_buckets(cents: np.ndarray) -> np.ndarray:
+    return np.floor(np.log2(cents.astype(np.float64)) * QSK_BITS)\
+        .astype(np.int64)
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable log-histogram quantile sketch over price cents (the
+    unbounded-domain companion to grouped_median's exact histogram):
+    bucket = floor(16*log2(v)) caps relative error at 2^(1/16)-1
+    (~4.4%) with a few hundred buckets regardless of corpus size.
+    Per-batch bincount partials -> one small groupby -> bounded
+    driver walk. Value-checked against the independent golden oracle
+    (golden.py); error vs the exact quantile is pinned by test."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy()
+        b, n = np.unique(_qsk_buckets(cents), return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    hist_ds = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+    df = hist_ds.to_pandas().sort_values("bucket")  # bounded: few hundred
+    cum = df["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    qs, ests = [], []
+    for q in (0.5, 0.9, 0.99):
+        rank = int(np.ceil(q * total))
+        b = int(df["bucket"].to_numpy()[np.searchsorted(cum, rank)])
+        qs.append(q)
+        # bucket midpoint in log space
+        ests.append(float(2.0 ** ((b + 0.5) / QSK_BITS)))
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "est_cents": pa.array(ests, pa.float64())})
+# oracle: independent golden (golden.py golden_approx_quantiles)
+
+
+# --- grouped COUNT(DISTINCT) ---------------------------------------------
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact distinct users per event type: map-side unique pairs per
+    batch (combine), distinct pairs via groupby, then a count per
+    type — only unique pairs ever shuffle."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(t, ["event_type", "user_id"])
+                .aggregate([]))
+
+    pairs = (ds.map_batches(uniq, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"]).aggregate(
+                 Count(alias_name="_c"))
+             .select_columns(["event_type"]))
+    return pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+
+
+SQL_DISTINCT_USERS_PER_TYPE = (
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+    "FROM events GROUP BY event_type")
+
+
+QUERIES = {
+    "left_outer_join": q_left_outer_join,
+    "full_outer_join": q_full_outer_join,
+    "cross_join": q_cross_join,
+    "unnest_tokens": q_unnest_tokens,
+    "inverted_index": q_inverted_index,
+    "sample_per_key": q_sample_per_key,
+    "rollup_counts": q_rollup_counts,
+    "normalize_text": q_normalize_text,
+    "approx_quantiles": q_approx_quantiles,
+    "distinct_users_per_type": q_distinct_users_per_type,
+}
+
+ORACLE_SQL = {
+    "left_outer_join": SQL_LEFT_OUTER_JOIN,
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "cross_join": SQL_CROSS_JOIN,
+    "unnest_tokens": SQL_UNNEST_TOKENS,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "sample_per_key": SQL_SAMPLE_PER_KEY,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
+    # approx_quantiles: golden oracle wired in __ray_entry__.py
+}

@@ -1,0 +1,81 @@
+"""Extended-operator conformance (round 3): join-type completion,
+unnest/inverted index, deterministic sampling, rollup, normalization,
+quantile sketch — same driver-style compare as test_relational.py."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pgstosrt_ray.pipelines import extended
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        tabs = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
+        t = pa.concat_tables(tabs) if tabs else pa.table({})
+    else:
+        t = result
+    return t.to_pandas()
+
+
+@pytest.mark.parametrize("name", sorted(extended.ORACLE_SQL))
+def test_extended_matches_oracle(ray_session, con, name):
+    a = _to_df(extended.QUERIES[name](SF_DIR))
+    b = con.sql(extended.ORACLE_SQL[name]).to_df()
+    a = a[sorted(a.columns)]
+    b = b[sorted(b.columns)]
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    if name == "inverted_index":
+        a = a.sort_values("token", ignore_index=True)
+        b = b.sort_values("token", ignore_index=True)
+        a["postings"] = a["postings"].map(list)
+        b["postings"] = b["postings"].map(list)
+    else:
+        if len(a):
+            a = a.sort_values(by=list(a.columns), ignore_index=True)
+            b = b.sort_values(by=list(b.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_approx_quantiles_matches_golden(ray_session):
+    from pgstosrt_ray import golden
+    a = _to_df(extended.q_approx_quantiles(SF_DIR))
+    b = golden.golden_approx_quantiles(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_approx_quantiles_error_bound(ray_session, con):
+    """The log-histogram sketch's estimate is within its design bound
+    (2^(1/16)-1 relative) of the EXACT quantile."""
+    est = _to_df(extended.q_approx_quantiles(SF_DIR))
+    bound = 2 ** (1 / 16) - 1
+    for q, e in zip(est["q"], est["est_cents"]):
+        exact = con.sql(
+            "SELECT quantile_disc(CAST(ROUND(l_extendedprice*100) AS "
+            f"BIGINT), {q}) FROM lineitem").fetchone()[0]
+        assert abs(e - exact) / exact <= bound + 1e-9, (q, e, exact)
+
+
+def test_sample_per_key_stable_under_rerun(ray_session):
+    a = _to_df(extended.q_sample_per_key(SF_DIR)).sort_values(
+        ["user_id", "event_id"], ignore_index=True)
+    b = _to_df(extended.q_sample_per_key(SF_DIR)).sort_values(
+        ["user_id", "event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("user_id").size() <= 2).all()
