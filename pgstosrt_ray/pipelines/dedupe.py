@@ -60,22 +60,9 @@ def _read_docs(sf_dir: str):
 
 
 def _materialize_nonempty(ds):
-    """materialize() + drop schemaless empty blocks.
-
-    Ray 2.49's JoinOperator emits EMPTY partitions as blocks with an
-    empty schema; downstream ``map_batches`` skips (passes through)
-    empty bundles, and a later join that happens to inspect one of
-    them first dies with ``No match ... for key field reference`` —
-    a nondeterministic flake at high partition counts. Only object
-    REFS pass through the driver here (no block data), so this stays
-    scale-safe."""
-    import ray.data
-    mat = ds.materialize()
-    refs = [ref for bundle in mat.iter_internal_ref_bundles()
-            for ref, meta in bundle.blocks if meta.num_rows]
-    if not refs:
-        return mat
-    return ray.data.from_arrow_refs(refs)
+    # shared helper (see reduce.materialize_nonempty for the why)
+    from .reduce import materialize_nonempty
+    return materialize_nonempty(ds)
 
 
 SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])

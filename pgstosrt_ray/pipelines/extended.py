@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import join_partitions
+from .reduce import join_partitions, materialize_nonempty
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -36,8 +36,11 @@ def q_left_outer_join(sf_dir: str):
     pre-aggregated to (key, count) before the shuffle."""
     from ray.data.aggregate import Count
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    counts = (_read(sf_dir, "orders", columns=["o_custkey"])
-              .groupby("o_custkey").aggregate(Count(alias_name="n")))
+    # groupby outputs can carry schemaless empty partitions that
+    # flake a downstream join (reduce.materialize_nonempty) — scrub
+    counts = materialize_nonempty(
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey").aggregate(Count(alias_name="n")))
     j = cust.join(counts, "left_outer", join_partitions(),
                   on=("c_custkey",), right_on=("o_custkey",))
 
@@ -62,10 +65,12 @@ def q_full_outer_join(sf_dir: str):
     on either side only (both inputs pre-aggregated: the full-outer
     shuffle moves one row per nation, not per customer)."""
     from ray.data.aggregate import Count
-    cust = (_read(sf_dir, "customer", columns=["c_nationkey"])
-            .groupby("c_nationkey").aggregate(Count(alias_name="n_cust")))
-    supp = (_read(sf_dir, "supplier", columns=["s_nationkey"])
-            .groupby("s_nationkey").aggregate(Count(alias_name="n_supp")))
+    cust = materialize_nonempty(
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .groupby("c_nationkey").aggregate(Count(alias_name="n_cust")))
+    supp = materialize_nonempty(
+        _read(sf_dir, "supplier", columns=["s_nationkey"])
+        .groupby("s_nationkey").aggregate(Count(alias_name="n_supp")))
     j = cust.join(supp, "full_outer", join_partitions(),
                   on=("c_nationkey",), right_on=("s_nationkey",))
 

@@ -96,3 +96,22 @@ def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
             .map_batches(fold, batch_format="pyarrow", batch_size=None)
             .repartition(1)
             .map_batches(fold, batch_format="pyarrow", batch_size=None))
+
+
+def materialize_nonempty(ds):
+    """materialize() + drop schemaless empty blocks.
+
+    Ray 2.49's hash-shuffle operators (join, groupby aggregate) emit
+    EMPTY partitions as blocks with an empty schema; ``map_batches``
+    passes empty bundles through unprocessed, and a downstream JOIN
+    that happens to inspect one first dies with ``No match ... for
+    key field reference`` — a nondeterministic flake that grows with
+    partition count. Only object REFS pass through the driver here
+    (no block data), so this stays scale-safe."""
+    import ray.data
+    mat = ds.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks if meta.num_rows]
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
