@@ -834,12 +834,13 @@ SQL_TOP_ORDERS_PER_CUST = (
 # --- grouped EXACT median via distributed histogram ----------------------
 def q_grouped_median(sf_dir: str):
     """Exact per-group median of integer cents WITHOUT sorting the
-    corpus or holding a group in memory: per-batch (group, cents)
-    partial counts -> one small groupby -> the driver walks each
-    group's histogram (distinct cents values, bounded by the price
-    domain — NOT the row count). This is the scale shape for exact
-    order statistics over bounded-domain values; unbounded domains
-    take the same pipeline with t-digest sketches (approximate)."""
+    corpus: per-batch (group, cents) partial counts -> one small
+    groupby -> a per-group histogram walk INSIDE the cluster
+    (map_groups; each group's histogram is bounded by its distinct
+    cents values — the price domain, NOT the row count; nothing
+    reaches the driver). This is the scale shape for exact order
+    statistics over bounded-domain values; unbounded domains take the
+    log-histogram sketch (extended.q_approx_quantiles)."""
     import numpy as np
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "lineitem",
@@ -856,19 +857,23 @@ def q_grouped_median(sf_dir: str):
     hist_ds = (ds.map_batches(hist, batch_format="pyarrow")
                .groupby(["l_returnflag", "cents"])
                .aggregate(Sum("n", alias_name="n")))
-    df = hist_ds.to_pandas()  # small: one row per (flag, distinct cents)
-    flags, medians = [], []
-    for flag, g in df.groupby("l_returnflag", sort=True):
+
+    def walk(g):
+        # per-group histogram walk runs IN the cluster (round 2 did
+        # this on the driver); one output row per group
+        import pandas as pd
         g = g.sort_values("cents")
         vals = g["cents"].to_numpy()
         cum = np.cumsum(g["n"].to_numpy())
         total = int(cum[-1])
         lo = float(vals[np.searchsorted(cum, (total - 1) // 2 + 1)])
         hi = float(vals[np.searchsorted(cum, total // 2 + 1)])
-        flags.append(flag)
-        medians.append((lo + hi) / 2.0)  # DuckDB median: interpolated
-    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
-                     "median_price_cents": pa.array(medians, pa.float64())})
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_price_cents": [(lo + hi) / 2.0]})  # DuckDB: interp.
+
+    return hist_ds.groupby("l_returnflag").map_groups(
+        walk, batch_format="pandas")
 
 SQL_GROUPED_MEDIAN = (
     "SELECT l_returnflag, "
