@@ -339,7 +339,87 @@ SQL_DISTINCT_USERS_PER_TYPE = (
     "FROM events GROUP BY event_type")
 
 
+# --- Bloom-prefiltered semi join (runtime filter pushdown) ---------------
+BLOOM_BITS = 1 << 20          # 128 KiB filter
+_B1, _B2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    with np.errstate(over="ignore"):
+        k = keys.astype(np.uint64)
+        h1 = (k * np.uint64(_B1)) >> np.uint64(44)
+        h2 = (k * np.uint64(_B2)) >> np.uint64(44)
+    return (h1 % np.uint64(BLOOM_BITS)).astype(np.int64), \
+           (h2 % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def _bloom_of(keys: np.ndarray) -> np.ndarray:
+    filt = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for h in _bloom_positions(keys):
+        np.bitwise_or.at(filt, h >> 3, (1 << (h & 7)).astype(np.uint8))
+    return filt
+
+
+def _bloom_test(filt: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    ok = np.ones(len(keys), dtype=bool)
+    for h in _bloom_positions(keys):
+        ok &= (filt[h >> 3] >> (h & 7).astype(np.uint8)) & 1 > 0
+    return ok
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """Semi join with a RUNTIME BLOOM FILTER pushdown: the right
+    side's key set folds into a 128 KiB bloom (per-batch partial
+    filters OR-merged in-cluster via reduce.tree_fold_blobs — the
+    driver sees ONE blob), the filter broadcasts once (ray.put), and
+    the big left side drops non-matching rows BEFORE the shuffle; the
+    exact semi join then removes bloom false positives. At 100 TB
+    this is the difference between shuffling the whole probe side and
+    shuffling the ~matching fraction. Output identical to the plain
+    semi join (same SQL oracle)."""
+    import ray
+    from .reduce import tree_fold_blobs
+
+    keys_ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        filt = _bloom_of(t.column("o_custkey").to_numpy())
+        return pa.table({"bloom": pa.array([filt.tobytes()], pa.binary())})
+
+    def or_merge(blobs) -> bytes:
+        out = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        for b in blobs:
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return out.tobytes()
+
+    one = tree_fold_blobs(
+        keys_ds.map_batches(partial_bloom, batch_format="pyarrow"),
+        "bloom", or_merge)
+    filt = np.frombuffer(one.take_all()[0]["bloom"], dtype=np.uint8)
+    filt_ref = ray.put(filt)
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        f = ray.get(filt_ref)
+        keep = _bloom_test(f, t.column("c_custkey").to_numpy())
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+    # exact semi join on the (much smaller) surviving probe side
+    distinct_keys = materialize_nonempty(keys_ds.map_batches(
+        lambda t: pa.TableGroupBy(t, "o_custkey").aggregate([]),
+        batch_format="pyarrow"))
+    return survivors.join(distinct_keys, "left_semi", join_partitions(),
+                          on=("c_custkey",), right_on=("o_custkey",))
+
+
+SQL_SEMI_JOIN_BLOOM = ("SELECT c_custkey, c_name FROM customer "
+                       "WHERE c_custkey IN (SELECT o_custkey FROM orders)")
+
+
 QUERIES = {
+    "semi_join_bloom": q_semi_join_bloom,
     "left_outer_join": q_left_outer_join,
     "full_outer_join": q_full_outer_join,
     "cross_join": q_cross_join,
@@ -353,6 +433,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "semi_join_bloom": SQL_SEMI_JOIN_BLOOM,
     "left_outer_join": SQL_LEFT_OUTER_JOIN,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "cross_join": SQL_CROSS_JOIN,

@@ -79,3 +79,16 @@ def test_sample_per_key_stable_under_rerun(ray_session):
         ["user_id", "event_id"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
     assert (a.groupby("user_id").size() <= 2).all()
+
+
+def test_bloom_prefilter_drops_nonmatching(ray_session):
+    """The bloom filter must reject keys absent from the build side
+    (modulo false positives) and accept every present key."""
+    import numpy as np
+    from pgstosrt_ray.pipelines.extended import _bloom_of, _bloom_test
+    present = np.arange(0, 10_000, dtype=np.int64)
+    filt = _bloom_of(present)
+    assert _bloom_test(filt, present).all()
+    absent = np.arange(1_000_000, 1_010_000, dtype=np.int64)
+    fp_rate = _bloom_test(filt, absent).mean()
+    assert fp_rate < 0.01, fp_rate
