@@ -245,6 +245,7 @@ _GOLDEN_COLS = {
     "rolling_fingerprint": "doc_id, rfp",
     "hll_distinct_users": "n_users_approx",
     "approx_quantiles": "q, est_cents",
+    "grouped_approx_quantiles": "event_type, q, est_cents",
     "media_frame_sample": ("url, frame_idx, start_ms, end_ms, "
                            "n_bytes, frame_sha"),
 }

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v2"
+GOLDEN_VERSION = "v3"
 U64 = np.uint64
 MASK64 = (1 << 64) - 1
 FNV_PRIME = 1099511628211
@@ -404,6 +404,33 @@ def golden_approx_quantiles(sf_dir: str) -> pa.Table:
                      "est_cents": pa.array(ests, pa.float64())})
 
 
+def golden_grouped_approx_quantiles(sf_dir: str) -> pa.Table:
+    """Independent per-group log-histogram quantiles (mirrors
+    pipelines/extended.py q_grouped_approx_quantiles)."""
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"])
+    types = np.asarray(t.column("event_type").to_pylist())
+    cents = np.round(np.asarray(t.column("value").to_pylist(),
+                                dtype=np.float64) * 100.0).astype(np.int64)
+    buckets = np.floor(np.log2(cents.astype(np.float64)) * 16)\
+        .astype(np.int64)
+    rows = {"event_type": [], "q": [], "est_cents": []}
+    for et in sorted(set(types.tolist())):
+        sub = buckets[types == et]
+        b, n = np.unique(sub, return_counts=True)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        for q in (0.5, 0.9, 0.99):
+            rank = int(np.ceil(q * total))
+            bk = int(b[np.searchsorted(cum, rank)])
+            rows["event_type"].append(et)
+            rows["q"].append(q)
+            rows["est_cents"].append(float(2.0 ** ((bk + 0.5) / 16)))
+    return pa.table({"event_type": pa.array(rows["event_type"], pa.string()),
+                     "q": pa.array(rows["q"], pa.float64()),
+                     "est_cents": pa.array(rows["est_cents"], pa.float64())})
+
+
 # ------------------------------------------------------- frame sampling
 _FRAME_SCHEMA = pa.schema([
     ("url", pa.string()), ("frame_idx", pa.int32()),
@@ -463,6 +490,7 @@ GOLDEN_BUILDERS = {
     "rolling_fingerprint": (golden_rolling_fingerprint, "sf"),
     "hll_distinct_users": (golden_hll_distinct_users, "sf"),
     "approx_quantiles": (golden_approx_quantiles, "sf"),
+    "grouped_approx_quantiles": (golden_grouped_approx_quantiles, "sf"),
     "media_frame_sample": (golden_media_frame_sample, "corpus"),
 }
 

@@ -314,6 +314,50 @@ def q_approx_quantiles(sf_dir: str):
 # oracle: independent golden (golden.py golden_approx_quantiles)
 
 
+def q_grouped_approx_quantiles(sf_dir: str):
+    """Per-group quantile sketch (the grouped composition of
+    q_approx_quantiles): (event_type, bucket) partial counts -> one
+    small groupby -> per-group histogram walk INSIDE the cluster
+    (map_groups). Sketch size per group is bounded by the value
+    domain's octave count, independent of row count. Golden-checked
+    (golden.py)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100.0)), pa.int64())
+        t2 = pa.table({"event_type": t.column("event_type"),
+                       "bucket": pa.array(_qsk_buckets(cents.to_numpy()),
+                                          pa.int64()),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return (pa.TableGroupBy(t2, ["event_type", "bucket"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["event_type", "bucket", "n"]))
+
+    hist_ds = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby(["event_type", "bucket"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        buckets = g["bucket"].to_numpy()
+        rows = {"event_type": [], "q": [], "est_cents": []}
+        for q in (0.5, 0.9, 0.99):
+            rank = int(np.ceil(q * total))
+            b = int(buckets[np.searchsorted(cum, rank)])
+            rows["event_type"].append(g["event_type"].iloc[0])
+            rows["q"].append(q)
+            rows["est_cents"].append(float(2.0 ** ((b + 0.5) / QSK_BITS)))
+        return pd.DataFrame(rows)
+
+    return hist_ds.groupby("event_type").map_groups(
+        walk, batch_format="pandas")
+# oracle: independent golden (golden.golden_grouped_approx_quantiles)
+
+
 # --- grouped COUNT(DISTINCT) ---------------------------------------------
 def q_distinct_users_per_type(sf_dir: str):
     """Exact distinct users per event type: map-side unique pairs per
@@ -429,6 +473,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "normalize_text": q_normalize_text,
     "approx_quantiles": q_approx_quantiles,
+    "grouped_approx_quantiles": q_grouped_approx_quantiles,
     "distinct_users_per_type": q_distinct_users_per_type,
 }
 

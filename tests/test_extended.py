@@ -92,3 +92,13 @@ def test_bloom_prefilter_drops_nonmatching(ray_session):
     absent = np.arange(1_000_000, 1_010_000, dtype=np.int64)
     fp_rate = _bloom_test(filt, absent).mean()
     assert fp_rate < 0.01, fp_rate
+
+
+def test_grouped_approx_quantiles_matches_golden(ray_session):
+    from pgstosrt_ray import golden
+    a = _to_df(extended.q_grouped_approx_quantiles(SF_DIR)).sort_values(
+        ["event_type", "q"], ignore_index=True)
+    b = golden.golden_grouped_approx_quantiles(SF_DIR).to_pandas()\
+        .sort_values(["event_type", "q"], ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                  b[sorted(b.columns)])
