@@ -1,0 +1,91 @@
+"""Unit tests for the in-cluster reduction helpers (reduce.py): the
+round-3 replacements for driver-side partial merges."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds_of(df: pd.DataFrame, blocks: int = 8):
+    import ray.data
+    return ray.data.from_pandas(
+        [df.iloc[i::blocks].reset_index(drop=True) for i in range(blocks)
+         if len(df.iloc[i::blocks])])
+
+
+class TestTreeTopk:
+    def test_matches_global_sort(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import tree_topk
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"v": rng.randint(0, 1000, 5000),
+                           "id": np.arange(5000)})
+        got = tree_topk(_ds_of(df), ["v", "id"], [False, True],
+                        k=25).to_pandas().reset_index(drop=True)
+        exp = df.sort_values(["v", "id"], ascending=[False, True])\
+            .head(25).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_fewer_rows_than_k(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import tree_topk
+        df = pd.DataFrame({"v": [3, 1, 2], "id": [0, 1, 2]})
+        got = tree_topk(_ds_of(df, blocks=2), ["v", "id"], [False, True],
+                        k=100).to_pandas()
+        assert list(got["v"]) == [3, 2, 1]
+
+    def test_tie_break_deterministic(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import tree_topk
+        df = pd.DataFrame({"v": [5] * 50, "id": np.arange(50)})
+        got = tree_topk(_ds_of(df), ["v", "id"], [False, True],
+                        k=10).to_pandas()
+        assert list(got["id"]) == list(range(10))
+
+
+class TestTreeFold:
+    def test_or_fold_equals_driver_fold(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import tree_fold_blobs
+        rng = np.random.RandomState(7)
+        blobs = [rng.randint(0, 256, 64, dtype=np.uint8).tobytes()
+                 for _ in range(40)]
+        df = pd.DataFrame({"b": blobs})
+
+        def merge(bs):
+            out = np.zeros(64, dtype=np.uint8)
+            for x in bs:
+                out |= np.frombuffer(x, dtype=np.uint8)
+            return out.tobytes()
+
+        out = tree_fold_blobs(_ds_of(df), "b", merge).take_all()
+        assert len(out) == 1
+        assert out[0]["b"] == merge(blobs)
+
+
+class TestClusterSizing:
+    def test_derived_from_cpus(self, ray_session):
+        from pgstosrt_ray.pipelines import reduce
+        cpus = reduce.cluster_cpus()
+        assert cpus >= 1
+        assert reduce.join_partitions() == max(8, cpus // 2)
+        assert reduce.shuffle_groups() >= 64
+
+    def test_fallback_without_ray(self, monkeypatch):
+        from pgstosrt_ray.pipelines import reduce
+        import ray as ray_mod
+        monkeypatch.setattr(ray_mod, "is_initialized", lambda: False)
+        assert reduce.cluster_cpus(default=8) == 8
+
+
+class TestMaterializeNonempty:
+    def test_drops_empty_blocks(self, ray_session):
+        import ray
+        import ray.data
+        from pgstosrt_ray.pipelines.reduce import materialize_nonempty
+        ds = ray.data.from_arrow([
+            pa.table({"a": pa.array([1, 2], pa.int64())}),
+            pa.table({"a": pa.array([], pa.int64())}),
+            pa.table({"a": pa.array([3], pa.int64())}),
+        ])
+        out = materialize_nonempty(ds)
+        tabs = ray.get(out.to_arrow_refs())
+        assert all(t.num_rows > 0 for t in tabs)
+        assert sorted(out.to_pandas()["a"]) == [1, 2, 3]
