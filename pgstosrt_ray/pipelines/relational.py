@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import join_partitions, tree_fold_blobs, tree_topk
+from .reduce import agg_topk, join_partitions, tree_fold_blobs
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -56,14 +56,15 @@ SQL_KEY_SELECT = ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
 
 # --- R1: deterministic re-sort + top-k (PgsOcr.cs:110 analogue) ----------
 def q_topk_sort(sf_dir: str):
-    """Top-k WITHOUT a global sort and WITHOUT a driver merge: per-batch
-    partial top-k, then an in-cluster repartition tree (reduce.tree_topk)
-    — the all-to-all a naive ds.sort().limit() would do never happens,
-    and the driver only ever sees the final k rows (SURVEY §4)."""
+    """Top-k WITHOUT a global sort and WITHOUT a driver merge: map
+    tasks fold blocks into <=k-row states, the custom AggregateFn
+    merges them in-cluster (reduce.agg_topk) — the all-to-all a naive
+    ds.sort().limit() would do never happens, and the driver only
+    ever sees the final k rows (SURVEY §4)."""
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
-    return tree_topk(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
-                     [False, True, True], k=100)
+    return agg_topk(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                    [False, True, True], k=100)
 
 SQL_TOPK_SORT = (
     "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
@@ -389,7 +390,7 @@ def q_top_tokens(sf_dir: str, k: int = 100):
 
     total = (ds.map_batches(counts, batch_format="pandas")
              .groupby("token").aggregate(Sum("n", alias_name="n")))
-    return tree_topk(total, ["n", "token"], [False, True], k=k)
+    return agg_topk(total, ["n", "token"], [False, True], k=k)
 
 SQL_TOP_TOKENS = (
     "SELECT token, COUNT(*) AS n FROM ("

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .reduce import tree_topk
+from .reduce import agg_topk
 
 TOP_K = 50
 QUERY_SEED = 7
@@ -61,10 +61,11 @@ def brute_force_topk(sf_dir: str, k: int = TOP_K) -> pa.Table:
 
     partials = ds.map_batches(partial_topk, batch_format="pandas",
                               batch_size=4096)
-    # in-cluster tree merge of the per-batch partials: the driver sees
-    # only the final k rows (round-2's to_pandas() grew with n_batches)
-    top = tree_topk(partials, ["sim", "vec_id"], [False, True],
-                    k=k).to_pandas()
+    # in-cluster AggregateFn merge of the per-batch partials: the
+    # driver sees only the final k rows (round-2's to_pandas() grew
+    # with n_batches)
+    top = agg_topk(partials, ["sim", "vec_id"], [False, True],
+                   k=k).to_pandas()
     return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64()),
                      "sim": pa.array(top["sim"].tolist(), pa.float64())})
 
@@ -227,8 +228,8 @@ def _topk_of(hits_ds, qn: np.ndarray, k: int) -> pa.Table:
                              "sim": sims[order]})
 
     partials = hits_ds.map_batches(score, batch_format="pandas")
-    top = tree_topk(partials, ["sim", "vec_id"], [False, True],
-                    k=k).to_pandas()
+    top = agg_topk(partials, ["sim", "vec_id"], [False, True],
+                   k=k).to_pandas()
     return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64()),
                      "sim": pa.array(top["sim"].tolist(), pa.float64())})
 

@@ -89,3 +89,32 @@ class TestMaterializeNonempty:
         tabs = ray.get(out.to_arrow_refs())
         assert all(t.num_rows > 0 for t in tabs)
         assert sorted(out.to_pandas()["a"]) == [1, 2, 3]
+
+
+class TestAggTopk:
+    def test_matches_global_sort(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import agg_topk
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({"v": rng.randint(0, 1000, 5000),
+                           "id": np.arange(5000)})
+        got = agg_topk(_ds_of(df), ["v", "id"], [False, True],
+                       k=25).to_pandas()
+        exp = df.sort_values(["v", "id"], ascending=[False, True])\
+            .head(25).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_dtypes_preserved(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import agg_topk
+        df = pd.DataFrame({"v": np.array([3, 1, 2], dtype="int64"),
+                           "s": ["a", "b", "c"]})
+        got = agg_topk(_ds_of(df, blocks=2), ["v", "s"], [False, True],
+                       k=2)
+        assert got.schema.field("v").type == pa.int64()
+        assert got.num_rows == 2
+
+    def test_fewer_rows_than_k(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import agg_topk
+        df = pd.DataFrame({"v": [3, 1, 2], "id": [0, 1, 2]})
+        got = agg_topk(_ds_of(df, blocks=2), ["v", "id"], [False, True],
+                       k=100).to_pandas()
+        assert list(got["v"]) == [3, 2, 1]
