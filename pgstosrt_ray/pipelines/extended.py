@@ -414,7 +414,7 @@ def _bloom_test(filt: np.ndarray, keys: np.ndarray) -> np.ndarray:
 def q_semi_join_bloom(sf_dir: str):
     """Semi join with a RUNTIME BLOOM FILTER pushdown: the right
     side's key set folds into a 128 KiB bloom (per-batch partial
-    filters OR-merged in-cluster via reduce.tree_fold_blobs — the
+    filters OR-merged in-cluster via reduce.agg_fold_blobs — the
     driver sees ONE blob), the filter broadcasts once (ray.put), and
     the big left side drops non-matching rows BEFORE the shuffle; the
     exact semi join then removes bloom false positives. At 100 TB
@@ -422,7 +422,7 @@ def q_semi_join_bloom(sf_dir: str):
     shuffling the ~matching fraction. Output identical to the plain
     semi join (same SQL oracle)."""
     import ray
-    from .reduce import tree_fold_blobs
+    from .reduce import agg_fold_blobs
 
     keys_ds = _read(sf_dir, "orders", columns=["o_custkey"])
 
@@ -436,11 +436,10 @@ def q_semi_join_bloom(sf_dir: str):
             out |= np.frombuffer(b, dtype=np.uint8)
         return out.tobytes()
 
-    one = tree_fold_blobs(
+    blob = agg_fold_blobs(
         keys_ds.map_batches(partial_bloom, batch_format="pyarrow"),
         "bloom", or_merge)
-    filt = np.frombuffer(one.take_all()[0]["bloom"], dtype=np.uint8)
-    filt_ref = ray.put(filt)
+    filt_ref = ray.put(np.frombuffer(blob, dtype=np.uint8))
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 

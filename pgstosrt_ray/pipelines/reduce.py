@@ -127,6 +127,35 @@ def agg_topk(ds, sort_cols, ascending, k: int) -> pa.Table:
                                 preserve_index=False)
 
 
+def agg_fold_blobs(ds, col: str, merge_fn) -> bytes:
+    """Single-shuffle associative fold of a binary column down to one
+    blob via a custom ``AggregateFn`` (the constant-key-groupby shape):
+    map tasks fold each block's blobs, reduce merges pairwise, the
+    driver receives exactly ONE blob. ``merge_fn(list[bytes]) ->
+    bytes`` must be associative + commutative (max-merge registers,
+    OR'd filters)."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(st, blk) -> bytes:
+        blobs = (blk.column(col).to_pylist() if isinstance(blk, pa.Table)
+                 else list(blk[col]))
+        if st:
+            blobs.append(st)
+        return merge_fn(blobs)
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return merge_fn([a, b])
+
+    out = ds.aggregate(AggregateFn(
+        init=lambda _: b"", accumulate_block=acc_block, merge=merge,
+        finalize=lambda st: st if st else merge_fn([]), name="fold"))
+    return out["fold"]
+
+
 def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
     """Associative+commutative fold of a binary column (sketch
     registers, bitmaps) down to ONE row via the same repartition tree;

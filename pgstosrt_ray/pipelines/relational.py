@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import agg_topk, join_partitions, tree_fold_blobs
+from .reduce import agg_fold_blobs, agg_topk, join_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -461,8 +461,8 @@ SQL_DISTINCT_USERS = ("SELECT COUNT(DISTINCT user_id) AS n_users "
 def q_hll_distinct_users(sf_dir: str):
     """HyperLogLog distinct-count sketch (functions/sketch.py): each
     batch folds to a 4 KiB register array (the only worker output);
-    register arrays max-merge IN-CLUSTER through a repartition tree
-    (reduce.tree_fold_blobs — max is associative+commutative, any
+    register arrays max-merge IN-CLUSTER through a custom AggregateFn
+    (reduce.agg_fold_blobs — max is associative+commutative, any
     merge tree gives the same array), so the driver sees exactly ONE
     blob regardless of batch count. Value-checked against a golden
     register array computed by the independent single-threaded oracle
@@ -477,11 +477,10 @@ def q_hll_distinct_users(sf_dir: str):
         return pa.table({"regs": pa.array([registers_of(h).tobytes()],
                                           pa.binary())})
 
-    one = tree_fold_blobs(
+    blob = agg_fold_blobs(
         ds.map_batches(regs, batch_format="pyarrow"), "regs",
         lambda blobs: merge_registers(blobs).tobytes())
-    blob = one.take_all()[0]["regs"]  # exactly one 4 KiB row
-    est = estimate(merge_registers([blob]))
+    est = estimate(merge_registers([blob]))  # exactly one 4 KiB blob
     return pa.table({"n_users_approx": pa.array([est], pa.float64())})
 def q_exact_dedup(sf_dir: str):
     import pandas as pd

@@ -118,3 +118,19 @@ class TestAggTopk:
         got = agg_topk(_ds_of(df, blocks=2), ["v", "id"], [False, True],
                        k=100).to_pandas()
         assert list(got["v"]) == [3, 2, 1]
+
+    def test_agg_fold_one_blob(self, ray_session):
+        from pgstosrt_ray.pipelines.reduce import agg_fold_blobs
+        rng = np.random.RandomState(9)
+        blobs = [rng.randint(0, 256, 32, dtype=np.uint8).tobytes()
+                 for _ in range(20)]
+        df = pd.DataFrame({"b": blobs})
+
+        def merge(bs):
+            out = np.zeros(32, dtype=np.uint8)
+            for x in bs:
+                out = np.maximum(out, np.frombuffer(x, dtype=np.uint8))
+            return out.tobytes()
+
+        got = agg_fold_blobs(_ds_of(df, blocks=5), "b", merge)
+        assert got == merge(blobs)
