@@ -461,8 +461,71 @@ SQL_SEMI_JOIN_BLOOM = ("SELECT c_custkey, c_name FROM customer "
                        "WHERE c_custkey IN (SELECT o_custkey FROM orders)")
 
 
+# --- end-to-end training-data prep (composition) -------------------------
+def q_prep_corpus(sf_dir: str):
+    """The whole data-prep chain as ONE streaming pipeline:
+    normalize -> quality gate -> exact dedup (keep min doc_id per
+    normalized text) -> deterministic train/val/test split. One
+    shuffle total (the dedup bucket groupby); everything else is
+    narrow maps. Output (doc_id, split) of the surviving corpus."""
+    from .relational import USER_BUCKETS
+    from ..functions.text import md5_fingerprint
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    B = USER_BUCKETS
+
+    def stage1(df: pd.DataFrame) -> pa.Table:
+        nt = (df["text"].str.lower()
+              .str.replace(r"\s+", " ", regex=True).str.strip())
+        n = nt.str.len()
+        n_alpha = nt.str.count(r"[A-Za-z]")
+        keep = (n >= 50) & (n <= 20000) & (2 * n_alpha > n)
+        nt, ids = nt[keep], df["doc_id"][keep]
+        fps = md5_fingerprint(nt)
+        b = np.fromiter((int(f[:8], 16) % B for f in fps),
+                        dtype=np.int32, count=len(fps))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string()),
+                         "_b": pa.array(b, pa.int32())})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values("doc_id").drop_duplicates("fp", keep="first"))
+        bkt = g["doc_id"].map(
+            lambda i: int(hashlib.md5(str(int(i)).encode())
+                          .hexdigest()[:8], 16) % 100)
+        split = bkt.map(lambda x: "train" if x < 80
+                        else ("val" if x < 90 else "test"))
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "split": split.to_numpy()})
+
+    return (ds.map_batches(stage1, batch_format="pandas")
+            .groupby("_b").map_groups(keep_first, batch_format="pandas"))
+
+
+SQL_PREP_CORPUS = """
+WITH normed AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents),
+gated AS (
+  SELECT doc_id, nt FROM normed
+  WHERE length(nt) BETWEEN 50 AND 20000
+    AND 2 * length(regexp_extract_all(nt, '[A-Za-z]')) > length(nt)),
+deduped AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(nt)) AS keeper
+  FROM gated)
+SELECT doc_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 AS b
+      FROM deduped WHERE doc_id = keeper)
+"""
+
+
 QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
+    "prep_corpus": q_prep_corpus,
     "left_outer_join": q_left_outer_join,
     "full_outer_join": q_full_outer_join,
     "cross_join": q_cross_join,
@@ -478,6 +541,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "semi_join_bloom": SQL_SEMI_JOIN_BLOOM,
+    "prep_corpus": SQL_PREP_CORPUS,
     "left_outer_join": SQL_LEFT_OUTER_JOIN,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "cross_join": SQL_CROSS_JOIN,

@@ -102,3 +102,15 @@ def test_grouped_approx_quantiles_matches_golden(ray_session):
         .sort_values(["event_type", "q"], ignore_index=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)],
                                   b[sorted(b.columns)])
+
+
+def test_prep_corpus_single_shuffle(ray_session, con):
+    """The composed prep pipeline matches the SQL chain and keeps one
+    wide op (the dedup bucket groupby)."""
+    a = _to_df(extended.q_prep_corpus(SF_DIR)).sort_values(
+        "doc_id", ignore_index=True)
+    b = con.sql(extended.ORACLE_SQL["prep_corpus"]).to_df().sort_values(
+        "doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                  b[sorted(b.columns)], check_dtype=False)
+    assert set(a["split"]) <= {"train", "val", "test"}
