@@ -7,13 +7,17 @@ batches). Here the partials are reduced INSIDE the cluster through a
 repartition tree, so driver traffic is O(k) rows (top-k) or one fixed
 blob (fold), regardless of input size.
 
-Shape: per-batch partial (map-side combine) -> repartition(fanin) ->
-per-block reduce -> repartition(1) -> final reduce -> a <=k-row /
-1-row Dataset the caller may safely take. ``fanin`` scales with the
-cluster (default ~CPU count): each mid-level task sees
-n_batches*k/fanin rows — at 1.5G partial rows (10^12 inputs, k=100)
-and fanin=256 that is ~600k tiny rows per task, well inside a worker
-heap; raise ``fanin`` (or add a level) for wider clusters.
+Two shapes, same O(k)-everywhere guarantee:
+  - ``agg_topk`` / ``agg_fold_blobs`` (the default): a custom
+    ``AggregateFn`` — map tasks fold each block into a <=k-row /
+    one-blob state, the aggregate's reduce merges states pairwise;
+    ONE shuffle op, no barriers (measured 0.7 s vs 2.0 s for the
+    tree on sf0.1 topk_sort).
+  - ``tree_topk`` / ``tree_fold_blobs``: explicit repartition tree
+    (per-batch partial -> repartition(fanin) -> per-block reduce ->
+    repartition(1) -> final). Use when the reduction state must stay
+    a Dataset or needs more than two levels; ``fanin`` scales with
+    the cluster (each mid-level task sees n_batches*k/fanin rows).
 """
 
 from __future__ import annotations

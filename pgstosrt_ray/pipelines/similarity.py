@@ -2,8 +2,9 @@
 top-k (baseline) and an LSH-bucketed approximate variant (scale path).
 
 Brute force: the query matrix is broadcast once (``ray.put``) and each
-batch does one numpy matmul against it — no shuffle at all; top-k per
-query is a small driver-side reduction over per-batch partial top-ks.
+batch does one numpy matmul against it; per-batch partial top-ks merge
+IN-CLUSTER through a custom AggregateFn (reduce.agg_topk) — the driver
+only ever sees the final k rows.
 
 Scale path (1e12 rows): random-hyperplane LSH assigns each vector to a
 bucket; a query probes only its own bucket (+ optional neighbors), so
