@@ -148,6 +148,14 @@ def checkpoint_pairs(out_dir: str, groups: int = 32,
 
     sig_dir = os.path.join(out_dir, "sigs")
     pair_dir = os.path.join(out_dir, "pairs")
+    if not completed_partitions(sig_dir):
+        # stage-1 completeness is the caller's contract
+        # (run_checkpointed_dedup sequences the stages); an empty or
+        # half-written signature dir must fail loudly, not produce a
+        # silently partial pair set
+        raise RuntimeError(
+            f"checkpoint_pairs: no completed signature partitions under "
+            f"{sig_dir}; run checkpoint_signatures to completion first")
     done = completed_partitions(pair_dir)
     t0 = time.perf_counter()
     sigs = ray.data.read_parquet(os.path.join(sig_dir))

@@ -83,3 +83,9 @@ def test_manifests_carry_metrics(ray_session, tmp_path):
         assert m["stage"] == "signatures"
         assert m["n_rows"] > 0 and m["n_bytes"] > 0
         assert "wall_time_s" in m
+
+
+def test_pairs_require_completed_signatures(ray_session, tmp_path):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    with pytest.raises(RuntimeError, match="no completed signature"):
+        dc.checkpoint_pairs(str(tmp_path / "nothing"), groups=4)

@@ -256,3 +256,14 @@ class TestPipelines:
         assert set(out.media_type) <= {"image", "video", "audio", "unknown"}
         assert (out.feature.map(len) == 8).all()
         assert out.n_bytes.gt(0).all()
+
+
+def test_label_propagation_nonconvergence_raises(ray_session):
+    """max_rounds=0 with real edges must raise, never return partial
+    labels (ADVICE round 2)."""
+    import pytest
+    from pgstosrt_ray.pipelines import dedupe
+    with pytest.raises(RuntimeError, match="did not converge"):
+        r = dedupe.minhash_dedup_clusters("/root/testdata/sf0.001",
+                                          max_rounds=0)
+        r.materialize()
