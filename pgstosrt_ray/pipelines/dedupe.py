@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..functions.dedup import (MinHasher, char_shingle_hashes, jaccard,
                                lsh_band_keys_matrix, popcount64, salt_bucket,
                                simhash64, word_ngram_hashes)
-from .reduce import join_partitions, shuffle_groups
+from .reduce import bucketed_group_agg, join_partitions, shuffle_groups
 
 NUM_PERM = 128
 BANDS = 16
@@ -139,10 +139,12 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _distinct_pairs(pair_ds):
-    from ray.data.aggregate import Count
-    return (pair_ds.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["doc_a", "doc_b"]))
+    # candidate-pair count grows with the corpus => bucketed distinct,
+    # never a raw-key groupby (measured 53.8 s vs 0.6 s at 36k groups)
+    return bucketed_group_agg(
+        pair_ds, ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"])
+        [["doc_a", "doc_b"]].reset_index(drop=True))
 
 
 def candidate_ids(sigs, groups: int):
@@ -235,7 +237,6 @@ def label_propagation(edges, ids, max_rounds: int = 25):
     """Distributed connected components over a materialized (node,
     nbr) edge dataset: (doc_id, cluster_id=min id in component)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
     if edges.count() == 0:
         return ids.map_batches(
             lambda t: pa.table({"doc_id": t.column("doc_id"),
@@ -248,8 +249,13 @@ def label_propagation(edges, ids, max_rounds: int = 25):
             "lbl": pc.min_element_wise(t.column("node"), t.column("lbl")),
         })
 
+    # node cardinality ~ docs-with-duplicates: bucketed min-label,
+    # never a raw-key groupby
     labels = _materialize_nonempty(
-        edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+        bucketed_group_agg(
+            edges, ["node"],
+            lambda g: g.groupby("node", as_index=False)["nbr"].min()
+            .rename(columns={"nbr": "lbl"}))
         .map_batches(seed_labels, batch_format="pyarrow"))
     converged = False
     prev_sum = labels.sum("lbl")
@@ -260,9 +266,9 @@ def label_propagation(edges, ids, max_rounds: int = 25):
             lambda t: pa.table({"lnode": t.column("nbr"),
                                 "lbl": t.column("lbl")}),
             batch_format="pyarrow")
-        merged = _materialize_nonempty(
-            prop.union(labels)
-            .groupby("lnode").aggregate(Min("lbl", alias_name="lbl")))
+        merged = _materialize_nonempty(bucketed_group_agg(
+            prop.union(labels), ["lnode"],
+            lambda g: g.groupby("lnode", as_index=False)["lbl"].min()))
         new_sum = merged.sum("lbl")
         labels = merged
         if new_sum == prev_sum:
@@ -366,9 +372,12 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
 
     pair_ds = buckets.groupby("grp").map_groups(
         band_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-    return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    # pair cardinality grows with the corpus => bucketed min, not a
+    # raw-key groupby (hamming is identical across bands, min = value)
+    return bucketed_group_agg(
+        pair_ds, ["doc_a", "doc_b"],
+        lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
+        ["hamming"].min())
 
 
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
@@ -537,9 +546,12 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
 
     pair_ds = buckets.groupby("grp").map_groups(
         cell_pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
-    return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+    # one pair can collide in several tables => bucketed max over the
+    # corpus-cardinality pair key
+    return bucketed_group_agg(
+        pair_ds, ["doc_a", "doc_b"],
+        lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
+        ["cosine"].max())
 
 
 def minhash_dedup_keep(sf_dir: str, threshold: float = 0.5):

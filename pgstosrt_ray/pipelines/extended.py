@@ -20,7 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import join_partitions, materialize_nonempty
+from .reduce import (bucketed_group_agg, join_partitions,
+                     materialize_nonempty)
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -34,13 +35,13 @@ def q_left_outer_join(sf_dir: str):
     """Customers with their order count INCLUDING zero-order customers
     (the missing-side semantics inner joins drop). Right side is
     pre-aggregated to (key, count) before the shuffle."""
-    from ray.data.aggregate import Count
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    # groupby outputs can carry schemaless empty partitions that
-    # flake a downstream join (reduce.materialize_nonempty) — scrub
-    counts = materialize_nonempty(
-        _read(sf_dir, "orders", columns=["o_custkey"])
-        .groupby("o_custkey").aggregate(Count(alias_name="n")))
+    # custkey cardinality grows with the corpus => bucketed count;
+    # scrub empty blocks before the join (reduce.materialize_nonempty)
+    counts = materialize_nonempty(bucketed_group_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]), ["o_custkey"],
+        lambda g: g.groupby("o_custkey", as_index=False)
+        .agg(n=("o_custkey", "count"))))
     j = cust.join(counts, "left_outer", join_partitions(),
                   on=("c_custkey",), right_on=("o_custkey",))
 
@@ -321,7 +322,6 @@ def q_grouped_approx_quantiles(sf_dir: str):
     (map_groups). Sketch size per group is bounded by the value
     domain's octave count, independent of row count. Golden-checked
     (golden.py)."""
-    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def hist(t: pa.Table) -> pa.Table:
@@ -335,9 +335,11 @@ def q_grouped_approx_quantiles(sf_dir: str):
                 .aggregate([("one", "sum")])
                 .rename_columns(["event_type", "bucket", "n"]))
 
-    hist_ds = (ds.map_batches(hist, batch_format="pyarrow")
-               .groupby(["event_type", "bucket"])
-               .aggregate(Sum("n", alias_name="n")))
+    hist_ds = bucketed_group_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["event_type", "bucket"],
+        lambda g: g.groupby(["event_type", "bucket"],
+                            as_index=False)["n"].sum())
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bucket")
@@ -363,19 +365,24 @@ def q_distinct_users_per_type(sf_dir: str):
     """Exact distinct users per event type: map-side unique pairs per
     batch (combine), distinct pairs via groupby, then a count per
     type — only unique pairs ever shuffle."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def uniq(t: pa.Table) -> pa.Table:
         return (pa.TableGroupBy(t, ["event_type", "user_id"])
                 .aggregate([]))
 
-    pairs = (ds.map_batches(uniq, batch_format="pyarrow")
-             .groupby(["event_type", "user_id"]).aggregate(
-                 Count(alias_name="_c"))
-             .select_columns(["event_type"]))
-    return pairs.groupby("event_type").aggregate(
-        Count(alias_name="n_users"))
+    # (type, user) cardinality grows with the corpus => bucketed
+    # distinct + per-bucket partial counts; the FINAL groupby runs
+    # over n_types x n_buckets tiny rows (small fixed domain)
+    partial = bucketed_group_agg(
+        ds.map_batches(uniq, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        lambda g: g.drop_duplicates(["event_type", "user_id"])
+        .groupby("event_type", as_index=False)
+        .agg(n_users=("user_id", "count")))
+    return partial.groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users"))
 
 
 SQL_DISTINCT_USERS_PER_TYPE = (

@@ -178,6 +178,41 @@ def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
             .map_batches(fold, batch_format="pyarrow", batch_size=None))
 
 
+def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None):
+    """High-cardinality grouped aggregation via the salted-bucket
+    pattern: tag ``_b = row_hash(key_cols) % B``, ONE groupby over B
+    buckets, vectorized pandas aggregation per bucket.
+
+    Why not ``ds.groupby(key_cols).aggregate(...)``: Ray's hash
+    aggregate pays a real per-GROUP cost — measured 53.8 s vs 0.6 s
+    for this pattern on a 537k-row/36k-group distinct (BASELINE.md
+    round-3 addendum). Any groupby whose group count grows with the
+    corpus (fingerprints, tokens, users, candidate pairs, histogram
+    cells) must come through here; ``ds.groupby`` stays right for
+    small fixed key domains (status codes, flags).
+
+    ``agg_fn(bucket_df) -> DataFrame`` runs per bucket and must stay
+    vectorized (pandas groupby agg); every key lands in exactly one
+    bucket, so per-bucket aggregation is globally correct. Bucket
+    count scales with the cluster (shuffle_groups)."""
+    B = buckets or shuffle_groups()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols],
+                                       index=False).to_numpy()
+        df = df.copy()
+        df["_b"] = (h % B).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas return required (Arrow from a pandas map_groups
+        # breaks Ray's multi-block group merge at high parallelism)
+        return agg_fn(g.drop(columns=["_b"]))
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_b").map_groups(per_bucket, batch_format="pandas"))
+
+
 def materialize_nonempty(ds):
     """materialize() + drop schemaless empty blocks.
 

@@ -21,7 +21,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import agg_fold_blobs, agg_topk, join_partitions
+from .reduce import (agg_fold_blobs, agg_topk, bucketed_group_agg,
+                     join_partitions)
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -229,12 +230,17 @@ SQL_DISTINCT_PAIRS = ("SELECT DISTINCT l_returnflag, l_linestatus "
 
 # --- A1: min/max within group (GetPosition analogue) ---------------------
 def q_min_per_group(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    return ds.groupby("o_custkey").aggregate(
-        Min("o_totalprice", alias_name="min_price"),
-        Max("o_totalprice", alias_name="max_price"),
-        Count(alias_name="n_orders"))
+    # customer cardinality grows with the corpus => bucketed agg
+    import pandas as pd
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+            n_orders=("o_totalprice", "count"))
+
+    return bucketed_group_agg(ds, ["o_custkey"], per_bucket)
 
 SQL_MIN_PER_GROUP = (
     "SELECT o_custkey, MIN(o_totalprice) AS min_price, "
@@ -374,7 +380,6 @@ def q_top_tokens(sf_dir: str, k: int = 100):
     sort, and the driver only ever sees the final k rows (never the
     vocabulary)."""
     import pandas as pd
-    from ray.data.aggregate import Sum
     from ..functions.text import TOKEN_RE
     ds = _read(sf_dir, "documents", columns=["text"])
 
@@ -388,8 +393,11 @@ def q_top_tokens(sf_dir: str, k: int = 100):
         return pd.DataFrame({"token": vc.index.to_numpy(),
                              "n": vc.to_numpy().astype("int64")})
 
-    total = (ds.map_batches(counts, batch_format="pandas")
-             .groupby("token").aggregate(Sum("n", alias_name="n")))
+    # vocabulary-cardinality key => bucketed sum of the per-batch
+    # partial counts, then the in-cluster top-k
+    total = bucketed_group_agg(
+        ds.map_batches(counts, batch_format="pandas"), ["token"],
+        lambda g: g.groupby("token", as_index=False)["n"].sum())
     return agg_topk(total, ["n", "token"], [False, True], k=k)
 
 SQL_TOP_TOKENS = (
@@ -446,13 +454,17 @@ SQL_PROPS_EXTRACT = (
 def q_distinct_users_exact(sf_dir: str):
     """Exact distinct count: map-side unique per batch (combine), then
     the group count — only unique keys per batch ever shuffle."""
-    from ray.data.aggregate import Count
     ds = _read(sf_dir, "events", columns=["user_id"])
     uniq = ds.map_batches(
         lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
         batch_format="pyarrow")
-    n = uniq.groupby("user_id").aggregate(Count(alias_name="_c")).count()
-    return pa.table({"n_users": pa.array([n], pa.int64())})
+    # user cardinality grows with the corpus => bucketed distinct
+    # (each user lands in exactly one bucket, so the row count of the
+    # bucketed-distinct dataset IS the global distinct count)
+    distinct = bucketed_group_agg(
+        uniq, ["user_id"],
+        lambda g: g.drop_duplicates("user_id").reset_index(drop=True))
+    return pa.table({"n_users": pa.array([distinct.count()], pa.int64())})
 
 SQL_DISTINCT_USERS = ("SELECT COUNT(DISTINCT user_id) AS n_users "
                       "FROM events")
@@ -484,7 +496,6 @@ def q_hll_distinct_users(sf_dir: str):
     return pa.table({"n_users_approx": pa.array([est], pa.float64())})
 def q_exact_dedup(sf_dir: str):
     import pandas as pd
-    from ray.data.aggregate import Count, Min
     from ..functions.text import md5_fingerprint
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -493,10 +504,14 @@ def q_exact_dedup(sf_dir: str):
                          "fp": pa.array(md5_fingerprint(df["text"]),
                                         pa.string())})
 
-    return (ds.map_batches(fp, batch_format="pandas")
-            .groupby("fp")
-            .aggregate(Min("doc_id", alias_name="keeper_id"),
-                       Count(alias_name="n_copies")))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fp", as_index=False).agg(
+            keeper_id=("doc_id", "min"), n_copies=("doc_id", "count"))
+
+    # fingerprint cardinality == corpus size => bucketed aggregation,
+    # never a raw-key groupby (reduce.bucketed_group_agg rationale)
+    return bucketed_group_agg(ds.map_batches(fp, batch_format="pandas"),
+                              ["fp"], per_bucket)
 
 SQL_EXACT_DEDUP = (
     "SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, "
@@ -750,9 +765,13 @@ def q_tumbling_window(sf_dir: str):
         return t.select(["user_id", "window_start", "value_milli"])
 
     win = ds.map_batches(windowed, batch_format="pyarrow")
-    return win.groupby(["user_id", "window_start"]).aggregate(
-        Sum("value_milli", alias_name="sum_value_milli"),
-        Count(alias_name="n_events"))
+    # (user, window) cardinality grows with the corpus => bucketed agg
+    return bucketed_group_agg(
+        win, ["user_id", "window_start"],
+        lambda g: g.groupby(["user_id", "window_start"],
+                            as_index=False).agg(
+            sum_value_milli=("value_milli", "sum"),
+            n_events=("value_milli", "count")))
 
 SQL_TUMBLING_WINDOW = (
     "SELECT user_id, date_trunc('hour', ts) AS window_start, "
@@ -787,9 +806,12 @@ def q_hopping_window(sf_dir: str):
         return pa.concat_tables(parts)
 
     win = ds.map_batches(windows, batch_format="pyarrow")
-    return win.groupby(["user_id", "window_start"]).aggregate(
-        Sum("value_milli", alias_name="sum_value_milli"),
-        Count(alias_name="n_events"))
+    return bucketed_group_agg(
+        win, ["user_id", "window_start"],
+        lambda g: g.groupby(["user_id", "window_start"],
+                            as_index=False).agg(
+            sum_value_milli=("value_milli", "sum"),
+            n_events=("value_milli", "count")))
 
 SQL_HOPPING_WINDOW = (
     "SELECT user_id, "
@@ -842,7 +864,6 @@ def q_grouped_median(sf_dir: str):
     statistics over bounded-domain values; unbounded domains take the
     log-histogram sketch (extended.q_approx_quantiles)."""
     import numpy as np
-    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_extendedprice"])
 
@@ -854,9 +875,13 @@ def q_grouped_median(sf_dir: str):
                 .aggregate([("one", "sum")])
                 .rename_columns(["l_returnflag", "cents", "n"]))
 
-    hist_ds = (ds.map_batches(hist, batch_format="pyarrow")
-               .groupby(["l_returnflag", "cents"])
-               .aggregate(Sum("n", alias_name="n")))
+    # histogram-cell cardinality ~ distinct cents values => bucketed
+    # partial-sum merge (each (flag, cents) cell lands in one bucket)
+    hist_ds = bucketed_group_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["l_returnflag", "cents"],
+        lambda g: g.groupby(["l_returnflag", "cents"],
+                            as_index=False)["n"].sum())
 
     def walk(g):
         # per-group histogram walk runs IN the cluster (round 2 did
