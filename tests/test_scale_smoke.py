@@ -1,0 +1,58 @@
+"""Scale smoke: the dedup family on a 2x-replicated corpus (10k docs,
+every text duplicated). Guards the round-3 per-group-overhead lesson:
+before the bucketed-aggregation sweep, the candidate-pair distinct
+alone took ~54 s at 4x scale (BASELINE.md round-3 addendum) and
+minhash_dedup_keep did not finish; a reintroduced corpus-cardinality
+``ds.groupby`` shows up here as a hang/timeout long before the driver
+or judge sees it. Assertions are correctness-only (duplicated corpora
+have exactly known keeper counts); the runtime guard is the test
+session itself."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+
+@pytest.fixture(scope="module")
+def big_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_big")
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    dfs = []
+    for i in range(2):
+        df = t.to_pandas()
+        df["doc_id"] = df["doc_id"] + i * 1_000_000
+        dfs.append(df)
+    both = pd.concat(dfs, ignore_index=True)
+    both.to_parquet(d / "documents.parquet")
+    return str(d), both
+
+
+def _rows(ds):
+    import pyarrow as pa
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def test_exact_dedup_keep_at_2x(ray_session, big_dir):
+    from pgstosrt_ray.pipelines.relational import q_exact_dedup_keep
+    d, both = big_dir
+    out = _rows(q_exact_dedup_keep(d))
+    # every text appears exactly twice => keepers == distinct texts,
+    # and every keeper is the low-id copy
+    n_distinct = both["text"].nunique()
+    assert out.num_rows == n_distinct
+    assert max(out.column("doc_id").to_pylist()) < 1_000_000
+
+
+def test_minhash_dedup_keep_at_2x(ray_session, big_dir):
+    from pgstosrt_ray.pipelines.dedupe import minhash_dedup_keep
+    d, both = big_dir
+    keep = set(_rows(minhash_dedup_keep(d)).column("doc_id").to_pylist())
+    # exact duplicates are always near-duplicates: the high-id copy of
+    # every text must be gone, so survivors are low-id only and at
+    # most one per distinct text
+    assert all(k < 1_000_000 for k in keep)
+    assert len(keep) <= both["text"].nunique()
+    assert len(keep) > 0
