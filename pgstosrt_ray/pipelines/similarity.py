@@ -71,6 +71,78 @@ def brute_force_topk(sf_dir: str, k: int = TOP_K) -> pa.Table:
                      "sim": pa.array(top["sim"].tolist(), pa.float64())})
 
 
+N_QUERIES = 8
+MULTI_K = 20
+
+
+def _query_matrix(dim: int = DIM, n: int = N_QUERIES) -> np.ndarray:
+    """Deterministic batch of query vectors, unit-normalized — the
+    broadcast query MATRIX shape (one matmul scores a batch against
+    every query at once)."""
+    q = np.random.RandomState(QUERY_SEED).standard_normal((n, dim))
+    return q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
+
+
+def brute_force_topk_multi(sf_dir: str, k: int = MULTI_K) -> pa.Table:
+    """Exact cosine top-k for a BATCH of query vectors: the (n_q, dim)
+    query matrix broadcasts once (ray.put); each data batch does ONE
+    matmul against it and emits per-query partial top-ks; the final
+    per-query merge is a groupby over n_q groups (a small fixed
+    domain — ds.groupby is right here). Output
+    (query_id, vec_id, sim, rank)."""
+    import ray
+    import ray.data
+    qm = _query_matrix()
+    q_ref = ray.put(qm)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        sims = np.round(m @ q.T, 6)               # (n_rows, n_q)
+        ids = df["vec_id"].to_numpy()
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for qi in range(q.shape[0]):
+            order = np.lexsort((ids, -sims[:, qi]))[:k]
+            out["query_id"].append(np.full(len(order), qi, np.int64))
+            out["vec_id"].append(ids[order])
+            out["sim"].append(sims[order, qi])
+        return pd.DataFrame({c: np.concatenate(v)
+                             for c, v in out.items()})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["sim", "vec_id"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["query_id", "vec_id", "sim", "rank"]]
+
+    merged = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=4096)
+              .groupby("query_id").map_groups(final,
+                                              batch_format="pandas"))
+    return merged
+
+
+def sql_brute_force_topk_multi(k: int = MULTI_K) -> str:
+    qm = _query_matrix()
+    selects = []
+    for qi in range(qm.shape[0]):
+        lit = "[" + ", ".join(f"{v!r}" for v in qm[qi].tolist()) \
+            + "]::DOUBLE[]"
+        selects.append(
+            f"SELECT {qi} AS query_id, vec_id, "
+            f"ROUND(list_cosine_similarity(embedding::DOUBLE[], {lit}), 6)"
+            f" AS sim FROM embeddings")
+    union = " UNION ALL ".join(selects)
+    return (
+        f"SELECT query_id, vec_id, sim, rank FROM ("
+        f"SELECT query_id, vec_id, sim, CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT)"
+        f" AS rank FROM ({union})) WHERE rank <= {k}")
+
+
 def sql_brute_force_topk(sf_dir: str, k: int = TOP_K) -> str:
     """DuckDB oracle with the query vector inlined as a literal.
     list_cosine_similarity computes in double like numpy; both sides
@@ -304,10 +376,12 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = 12,
 
 QUERIES = {
     "ann_brute_force": brute_force_topk,
+    "ann_brute_multi": brute_force_topk_multi,
     "ann_lsh": lsh_topk,
     "ann_ivf": ivf_topk,
 }
 
 
-ORACLE_SQL = {"ann_brute_force": sql_brute_force_topk("")}
+ORACLE_SQL = {"ann_brute_force": sql_brute_force_topk(""),
+              "ann_brute_multi": sql_brute_force_topk_multi()}
 # ann_lsh / ann_ivf are approximate by design => rows-only driver checks

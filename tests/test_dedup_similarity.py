@@ -267,3 +267,25 @@ def test_label_propagation_nonconvergence_raises(ray_session):
         r = dedupe.minhash_dedup_clusters("/root/testdata/sf0.001",
                                           max_rounds=0)
         r.materialize()
+
+
+def test_ann_brute_multi_matches_duckdb(ray_session):
+    import duckdb as dk
+    import pyarrow as pa
+    import ray as _ray
+    from pgstosrt_ray.pipelines import similarity
+    con = dk.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF_DIR}/embeddings.parquet'")
+    r = similarity.brute_force_topk_multi(SF_DIR)
+    tabs = [t for t in _ray.get(r.to_arrow_refs()) if t.num_rows]
+    a = pa.concat_tables(tabs).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    b = con.sql(similarity.ORACLE_SQL["ann_brute_multi"]).to_df()\
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                  b[sorted(b.columns)], check_dtype=False)
+    # query 0 of the batch is the single-query vector: top-20 agree
+    single = similarity.brute_force_topk(SF_DIR).to_pandas().head(20)
+    q0 = a[a.query_id == 0]
+    assert list(q0["vec_id"]) == list(single["vec_id"])
