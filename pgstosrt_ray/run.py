@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--extract-concurrency", type=int, default=None,
                    help="extractor actor pool size (default: cpus-2)")
+    p.add_argument("--mode", choices=["extract", "dedup"],
+                   default="extract",
+                   help="extract: checkpointed extraction over a page "
+                        "corpus; dedup: checkpointed MinHash dedup over "
+                        "an sf-style dir with documents.parquet (both "
+                        "resume from --output on rerun)")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="dedup mode: MinHash Jaccard-estimate threshold")
     args = p.parse_args(argv)
 
     import ray
@@ -55,6 +63,15 @@ def main(argv: list[str] | None = None) -> int:
     try:
         from ray.data import DataContext
         DataContext.get_current().enable_progress_bars = False
+
+        if args.mode == "dedup":
+            from .state.dedup_checkpoint import run_checkpointed_dedup
+            keep_ds, metrics = run_checkpointed_dedup(
+                args.input, args.output, threshold=args.threshold)
+            metrics["n_keepers"] = sum(
+                t.num_rows for t in ray.get(keep_ds.to_arrow_refs()))
+            print(json.dumps(metrics))
+            return 0
 
         from .config import PipelineConfig
         from .state.checkpoint import run_checkpointed
