@@ -161,13 +161,15 @@ def q_inverted_index(sf_dir: str, buckets: int = TOKEN_BUCKETS):
         toks = df["text"].str.findall(TOKEN_RE).map(
             lambda lst: sorted(set(lst)))
         lens = toks.str.len().to_numpy()
-        flat = [t for lst in toks for t in lst]
-        b = np.fromiter(
-            (int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
-             % buckets for t in flat), dtype=np.int32, count=len(flat))
+        flat = pd.Series([t for lst in toks for t in lst], dtype="object")
+        # vectorized run-stable token hash: the tag only PARTITIONS
+        # (every occurrence of a token gets the same bucket within the
+        # run); results are invariant to the bucket assignment
+        b = (pd.util.hash_pandas_object(flat, index=False).to_numpy()
+             % buckets).astype(np.int32)
         return pd.DataFrame({
             "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
-            "token": flat, "_b": b})
+            "token": flat.to_numpy(), "_b": b})
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("token", sort=True)["doc_id"].agg(

@@ -164,7 +164,26 @@ SQL_HASH_JOIN = (
 USER_BUCKETS = 64
 
 
-def _by_key_bucketed(ds, key: str, per_bucket_fn, buckets: int = USER_BUCKETS):
+def _schema_normalizer(schema: pa.Schema):
+    """Cast stage pinning block schemas: a pandas block whose nullable
+    column is ALL-NaT/None in one bucket converts to arrow type
+    ``null``, making blocks schema-inconsistent (concat_tables and
+    driver-side collection break). Casting against the declared schema
+    restores the real type (null -> timestamp/float casts are valid
+    for all-null columns)."""
+    def cast(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in schema:
+            c = t.column(f.name)
+            cols[f.name] = (c if c.type == f.type
+                            else c.cast(f.type))
+        return pa.table(cols, schema=schema)
+    return cast
+
+
+def _by_key_bucketed(ds, key: str, per_bucket_fn,
+                     buckets: int = USER_BUCKETS,
+                     out_schema: pa.Schema | None = None):
     """Per-key ordered computation, shuffled on hash(key) % buckets
     instead of the raw key: the wide op moves small-int keys and pays
     Ray's per-group overhead per BUCKET (a cluster-size knob), not per
@@ -188,12 +207,17 @@ def _by_key_bucketed(ds, key: str, per_bucket_fn, buckets: int = USER_BUCKETS):
         # group merge path at higher parallelism (ray 2.49.2)
         return per_bucket_fn(g.drop(columns=["_ub"]))
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+    if out_schema is not None:
+        out = out.map_batches(_schema_normalizer(out_schema),
+                              batch_format="pyarrow")
+    return out
 
 
-def _by_user_bucketed(ds, per_bucket_fn):
-    return _by_key_bucketed(ds, "user_id", per_bucket_fn)
+def _by_user_bucketed(ds, per_bucket_fn, out_schema=None):
+    return _by_key_bucketed(ds, "user_id", per_bucket_fn,
+                            out_schema=out_schema)
 
 
 # --- M8: ordered forward-fill / lead within key groups -------------------
@@ -208,7 +232,10 @@ def q_window_fill(sf_dir: str):
         g["next_ts"] = g.groupby("user_id", sort=False)["ts"].shift(-1)
         return g[["event_id", "user_id", "ts", "next_ts"]]
 
-    return _by_user_bucketed(ds, fill)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("next_ts", pa.timestamp("us"))])
+    return _by_user_bucketed(ds, fill, out_schema=schema)
 
 SQL_WINDOW_FILL = (
     "SELECT event_id, user_id, ts, "
@@ -608,7 +635,10 @@ def q_asof_join(sf_dir: str):
                                  .cummax().groupby(uid, sort=False).ffill())
         return g[["event_id", "user_id", "ts", "last_purchase_ts"]]
 
-    return _by_user_bucketed(ds, asof)
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("last_purchase_ts", pa.timestamp("us"))])
+    return _by_user_bucketed(ds, asof, out_schema=schema)
 
 SQL_ASOF_JOIN = (
     "SELECT event_id, user_id, ts, "

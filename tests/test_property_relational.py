@@ -1,0 +1,76 @@
+"""Generative conformance for the bucketed per-key family: random
+events tables (adversarial shapes — duplicate timestamps, single-event
+users, empty-ish frames) must match DuckDB exactly. Complements the
+fixed-testdata conformance in test_relational.py."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _events_frame(draw_ids, draw_ts):
+    n = min(len(draw_ids), len(draw_ts))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": np.asarray(draw_ids[:n], dtype="int64"),
+        "ts": pd.to_datetime(np.asarray(draw_ts[:n], dtype="int64"),
+                             unit="us"),
+    })
+
+
+events_strategy = st.builds(
+    _events_frame,
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+             max_size=60),
+    st.lists(st.integers(min_value=0, max_value=3 * 10 ** 9),
+             min_size=1, max_size=60),
+).filter(lambda df: len(df) >= 1)
+
+
+def _run_window_fill(df: pd.DataFrame, tmpdir: str):
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from pgstosrt_ray.pipelines.relational import q_window_fill
+    df.to_parquet(f"{tmpdir}/events.parquet")
+    res = q_window_fill(tmpdir)
+    tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    return (pa.concat_tables(tabs).to_pandas()
+            .sort_values(["user_id", "ts", "event_id"],
+                         ignore_index=True))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=events_strategy)
+def test_window_fill_matches_duckdb_on_random_frames(ray_session,
+                                                     tmp_path_factory,
+                                                     df):
+    # ts collisions and singleton users are the interesting cases;
+    # align lengths (builds may draw unequal lists)
+    n = min(len(df), 60)
+    df = df.iloc[:n].reset_index(drop=True)
+    tmpdir = str(tmp_path_factory.mktemp("ev"))
+    ours = _run_window_fill(df, tmpdir)
+    con = duckdb.connect()
+    con.register("events", df)
+    theirs = con.sql(
+        "SELECT event_id, user_id, ts, LEAD(ts) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS next_ts "
+        "FROM events").to_df().sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+
+    def norm_units(df):
+        # us- vs ns-backed datetimes are the same instants; compare
+        # in one unit
+        for c in ("ts", "next_ts"):
+            df[c] = df[c].astype("datetime64[ns]")
+        return df
+
+    pd.testing.assert_frame_equal(
+        norm_units(ours[sorted(ours.columns)].copy()),
+        norm_units(theirs[sorted(theirs.columns)].copy()),
+        check_dtype=False)
