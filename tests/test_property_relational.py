@@ -74,3 +74,71 @@ def test_window_fill_matches_duckdb_on_random_frames(ray_session,
         norm_units(ours[sorted(ours.columns)].copy()),
         norm_units(theirs[sorted(theirs.columns)].copy()),
         check_dtype=False)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=events_strategy)
+def test_sessionize_matches_duckdb_on_random_frames(ray_session,
+                                                    tmp_path_factory, df):
+    import pyarrow as pa
+    import ray
+    from pgstosrt_ray.pipelines.relational import (SQL_SESSIONIZE,
+                                                   q_sessionize)
+    tmpdir = str(tmp_path_factory.mktemp("ev"))
+    df.to_parquet(f"{tmpdir}/events.parquet")
+    res = q_sessionize(tmpdir)
+    tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    ours = (pa.concat_tables(tabs).to_pandas()
+            .sort_values(["user_id", "session_id"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    theirs = con.sql(SQL_SESSIONIZE).to_df().sort_values(
+        ["user_id", "session_id"], ignore_index=True)
+    for frame in (ours, theirs):
+        for c in ("start_ts", "end_ts"):
+            frame[c] = frame[c].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(ours[sorted(ours.columns)],
+                                  theirs[sorted(theirs.columns)],
+                                  check_dtype=False)
+
+
+orders_strategy = st.builds(
+    lambda custs, prices: pd.DataFrame({
+        "o_orderkey": np.arange(min(len(custs), len(prices)),
+                                dtype="int64"),
+        "o_custkey": np.asarray(custs[:min(len(custs), len(prices))],
+                                dtype="int64"),
+        "o_totalprice": np.asarray(prices[:min(len(custs), len(prices))],
+                                   dtype="float64"),
+    }),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+             max_size=40),
+    # duplicate prices exercise the o_orderkey tiebreak
+    st.lists(st.sampled_from([10.0, 20.0, 30.0]), min_size=1,
+             max_size=40),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=orders_strategy)
+def test_top_orders_matches_duckdb_on_random_frames(ray_session,
+                                                    tmp_path_factory, df):
+    import pyarrow as pa
+    import ray
+    from pgstosrt_ray.pipelines.relational import (SQL_TOP_ORDERS_PER_CUST,
+                                                   q_top_orders_per_cust)
+    tmpdir = str(tmp_path_factory.mktemp("ord"))
+    df.to_parquet(f"{tmpdir}/orders.parquet")
+    res = q_top_orders_per_cust(tmpdir)
+    tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    ours = (pa.concat_tables(tabs).to_pandas()
+            .sort_values(["o_custkey", "rn"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("orders", df)
+    theirs = con.sql(SQL_TOP_ORDERS_PER_CUST).to_df().sort_values(
+        ["o_custkey", "rn"], ignore_index=True)
+    pd.testing.assert_frame_equal(ours[sorted(ours.columns)],
+                                  theirs[sorted(theirs.columns)],
+                                  check_dtype=False)
