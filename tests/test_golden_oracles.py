@@ -60,8 +60,65 @@ def test_media_frame_sample_matches_golden(ray_session):
 
 def test_oracle_sql_covers_every_query():
     """Driver contract: every queries() entry now has an oracle_sql()
-    entry (49/49 — zero rows-only checks left)."""
+    entry (63/63 — zero rows-only checks left)."""
     import __ray_entry__
     q = set(__ray_entry__.queries())
     o = set(__ray_entry__.oracle_sql())
     assert q <= o, f"missing oracles: {sorted(q - o)}"
+
+
+class TestGoldenOnRandomInputs:
+    """The independent golden implementations must agree with the
+    distributed pipelines on ARBITRARY inputs, not just the driver
+    testdata — random corpora with planted near-duplicates."""
+
+    def _write_docs(self, tmp_path, texts):
+        import pandas as pd
+        d = tmp_path / "sf"
+        d.mkdir()
+        pd.DataFrame({"doc_id": range(len(texts)),
+                      "text": texts}).to_parquet(d / "documents.parquet")
+        return str(d)
+
+    def test_minhash_pairs_random_corpus(self, ray_session, tmp_path):
+        import random
+        rng = random.Random(123)
+        words = [f"w{i}" for i in range(200)]
+        base = " ".join(rng.choices(words, k=120))
+        texts = [base,
+                 base.replace("w0", "w199"),           # near-dup of 0
+                 base + " extra tail tokens here"]     # near-dup of 0
+        texts += [" ".join(rng.choices(words, k=100)) for _ in range(25)]
+        texts += ["", "x", "  "]                       # degenerate docs
+        sf = self._write_docs(tmp_path, texts)
+        from pgstosrt_ray.pipelines.dedupe import minhash_candidate_pairs
+        ours = _to_df(minhash_candidate_pairs(sf))
+        exp = _to_df(golden.golden_minhash_pairs(sf))
+        pd.testing.assert_frame_equal(ours, exp)
+        assert len(exp) >= 2  # the planted near-dups were found
+
+    def test_simhash_pairs_random_corpus(self, ray_session, tmp_path):
+        import random
+        rng = random.Random(7)
+        words = [f"tok{i}" for i in range(80)]
+        base = " ".join(rng.choices(words, k=60))
+        texts = [base, base + " tok0", ""]
+        texts += [" ".join(rng.choices(words, k=50)) for _ in range(20)]
+        sf = self._write_docs(tmp_path, texts)
+        from pgstosrt_ray.pipelines.dedupe import simhash_near_dup_pairs
+        ours = _to_df(simhash_near_dup_pairs(sf))
+        exp = _to_df(golden.golden_simhash_pairs(sf))
+        pd.testing.assert_frame_equal(ours, exp)
+
+    def test_hll_random_events(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        d = tmp_path / "sf"
+        d.mkdir()
+        uids = np.random.RandomState(3).randint(0, 700, 5000)
+        pd.DataFrame({"user_id": uids.astype("int64")}).to_parquet(
+            d / "events.parquet")
+        from pgstosrt_ray.pipelines.relational import q_hll_distinct_users
+        ours = _to_df(q_hll_distinct_users(str(d)))
+        exp = _to_df(golden.golden_hll_distinct_users(str(d)))
+        pd.testing.assert_frame_equal(ours, exp)
