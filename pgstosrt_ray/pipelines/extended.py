@@ -362,6 +362,85 @@ def q_grouped_approx_quantiles(sf_dir: str):
 # oracle: independent golden (golden.golden_grouped_approx_quantiles)
 
 
+# --- moments: integer-exact sum/sumsq per group --------------------------
+def q_value_stats(sf_dir: str):
+    """Per-type count / sum / sum-of-squares over integer milli-values
+    (the moments an engine needs for mean/variance downstream):
+    per-batch partial sums (map-side combine), final groupby over the
+    small fixed event-type domain. All-integer arithmetic keeps both
+    engines bit-exact regardless of order."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({"event_type":
+                           t.column("event_type").to_pylist(),
+                           "vm": vm, "vm2": vm * vm})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("vm", "count"), sum_milli=("vm", "sum"),
+            sumsq_milli=("vm2", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_milli", alias_name="sum_milli"),
+                Sum("sumsq_milli", alias_name="sumsq_milli")))
+
+
+SQL_VALUE_STATS = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) "
+    "AS sum_milli, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT) "
+    "* CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sumsq_milli "
+    "FROM events GROUP BY event_type")
+
+
+# --- fixed-width value histogram -----------------------------------------
+def q_value_histogram(sf_dir: str, width: float = 50.0):
+    """Value distribution in fixed-width bins — the dashboard staple;
+    bin domain is value-range/width (small, fixed), so the final
+    groupby is a ds.groupby."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t.column("value"), width)),
+                    pa.int64())
+        return pa.table({"bin": b})
+
+    return (ds.map_batches(binned, batch_format="pyarrow")
+            .groupby("bin").aggregate(Count(alias_name="n")))
+
+
+SQL_VALUE_HISTOGRAM = (
+    "SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n "
+    "FROM events GROUP BY 1")
+
+
+# --- per-day activity ----------------------------------------------------
+def q_events_per_day(sf_dir: str):
+    """Daily event counts (date_trunc day — small fixed domain)."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t.column("ts"),
+                                                  unit="day")})
+
+    return (ds.map_batches(day, batch_format="pyarrow")
+            .groupby("day").aggregate(Count(alias_name="n")))
+
+
+SQL_EVENTS_PER_DAY = (
+    "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n "
+    "FROM events GROUP BY 1")
+
+
 # --- grouped COUNT(DISTINCT) ---------------------------------------------
 def q_distinct_users_per_type(sf_dir: str):
     """Exact distinct users per event type: map-side unique pairs per
@@ -546,6 +625,9 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "grouped_approx_quantiles": q_grouped_approx_quantiles,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "value_stats": q_value_stats,
+    "value_histogram": q_value_histogram,
+    "events_per_day": q_events_per_day,
 }
 
 ORACLE_SQL = {
@@ -560,5 +642,8 @@ ORACLE_SQL = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
+    "value_stats": SQL_VALUE_STATS,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "events_per_day": SQL_EVENTS_PER_DAY,
     # approx_quantiles: golden oracle wired in __ray_entry__.py
 }

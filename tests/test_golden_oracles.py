@@ -60,7 +60,7 @@ def test_media_frame_sample_matches_golden(ray_session):
 
 def test_oracle_sql_covers_every_query():
     """Driver contract: every queries() entry now has an oracle_sql()
-    entry (63/63 — zero rows-only checks left)."""
+    entry (66/66 — zero rows-only checks left)."""
     import __ray_entry__
     q = set(__ray_entry__.queries())
     o = set(__ray_entry__.oracle_sql())
