@@ -429,16 +429,18 @@ def q_events_per_day(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts"])
 
     def day(t: pa.Table) -> pa.Table:
-        return pa.table({"day": pc.floor_temporal(t.column("ts"),
-                                                  unit="day")})
+        d = pc.floor_temporal(t.column("ts"), unit="day")
+        # DuckDB's date_trunc('day') yields DATE; both sides align on
+        # timestamp[us] (the oracle CASTs back to TIMESTAMP)
+        return pa.table({"day": d.cast(pa.timestamp("us"))})
 
     return (ds.map_batches(day, batch_format="pyarrow")
             .groupby("day").aggregate(Count(alias_name="n")))
 
 
 SQL_EVENTS_PER_DAY = (
-    "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n "
-    "FROM events GROUP BY 1")
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "COUNT(*) AS n FROM events GROUP BY 1")
 
 
 # --- grouped COUNT(DISTINCT) ---------------------------------------------
