@@ -131,12 +131,14 @@ def _quality_score(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pgstosrt_ray.pipelines import (dedupe, extended, relational,
                                         similarity)
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(relational.QUERIES)
-    out.update(dedupe.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(extended.QUERIES)
-    out.update({
+    # Registration ORDER is deliberate: the round-3 driver recorded
+    # exactly the first 50 registered entries, so the 16 queries absent
+    # from CORRECTNESS_r03 (the flagship extract trio first) lead here —
+    # a capped driver run still covers them, and the union across
+    # rounds covers all 66. dict.update keeps the FIRST insertion
+    # position for existing keys, so the module dicts below do not
+    # reorder these.
+    out: dict[str, Callable[[str], Any]] = {
         "extract_docs": _extract_docs,
         "extract_docs_nomerge": _extract_docs_nomerge,
         "demux_cues": _demux_cues,
@@ -144,7 +146,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _media_frame_sample,
         "lang_id": _lang_id,
         "quality_score": _quality_score,
-    })
+    }
+    for name in ("sample_per_key", "rollup_counts", "normalize_text",
+                 "approx_quantiles", "grouped_approx_quantiles",
+                 "distinct_users_per_type", "value_stats",
+                 "value_histogram", "events_per_day"):
+        out[name] = extended.QUERIES[name]
+    out.update(relational.QUERIES)
+    out.update(dedupe.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(extended.QUERIES)
     return out
 
 

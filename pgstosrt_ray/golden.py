@@ -495,13 +495,31 @@ GOLDEN_BUILDERS = {
 }
 
 
+def _inputs_fingerprint(sf_dir: str) -> str:
+    """Short digest of (mtime_ns, size) of the source tables the golden
+    builders read — regenerating fixture data IN PLACE (same path) then
+    gets a fresh cache directory instead of stale goldens behind the
+    _SUCCESS marker (the same pitfall similarity.py guards against
+    with _data_fingerprint)."""
+    parts = []
+    for tbl in ("documents", "events", "embeddings", "lineitem"):
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{tbl}.parquet"))
+            parts.append(f"{tbl}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{tbl}:absent")
+    return hashlib.sha1(";".join(parts).encode()).hexdigest()[:12]
+
+
 def ensure_goldens(sf_dir: str, corpus: str,
                    out_root: str = "/tmp/pgstosrt_golden") -> dict[str, str]:
     """Compute-once cache of golden parquet per query; returns
     query name -> parquet path. Idempotent via a _SUCCESS marker keyed
-    by GOLDEN_VERSION (bump on any algorithm change)."""
+    by GOLDEN_VERSION (bump on any algorithm change) plus a fingerprint
+    of the source tables (in-place data regeneration invalidates)."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out_dir = os.path.join(out_root, f"{tag}-{GOLDEN_VERSION}")
+    out_dir = os.path.join(
+        out_root, f"{tag}-{GOLDEN_VERSION}-{_inputs_fingerprint(sf_dir)}")
     marker = os.path.join(out_dir, "_SUCCESS")
     paths = {name: os.path.join(out_dir, f"golden_{name}.parquet")
              for name in GOLDEN_BUILDERS}
