@@ -48,7 +48,10 @@ class PipelineConfig:
             extract_concurrency=max(2, round(num_cpus * 0.8)))
     # partitioned-output / checkpoint layout
     num_partitions: int = 16
-    # assembly shuffle buckets (sha1(url) % B); ~4x total cores
+    # assembly shuffle buckets (sha1(url) % B); ~4x total cores.
+    # This is the parallelism FLOOR — extract_docs raises B from the
+    # input bytes (reduce.buckets_for) so no assembly bucket frame
+    # outgrows the per-task byte target at corpus scale
     assemble_buckets: int = 128
     # skew defense (SURVEY §4, north_star "explicit repartitioning to
     # defeat payload-size skew"): when set, demux YIELDS cue blocks

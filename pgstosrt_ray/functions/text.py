@@ -40,6 +40,31 @@ def md5_fingerprint(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
 
 
+def md5_of_ids(ids) -> np.ndarray:
+    """Hex MD5 of each DECIMAL id (matches DuckDB
+    ``md5(CAST(id AS VARCHAR))`` — the deterministic-split/sample
+    contract). Ids are unique per row, so the url-style
+    factorize-hash-gather dedup (pipelines/extract.py) buys nothing
+    here; the win over ``Series.map(lambda ...)`` is dropping the
+    per-element pandas/lambda frames for one tight C-md5 loop."""
+    _md5 = hashlib.md5
+    return np.array([_md5(b"%d" % i).hexdigest() for i in map(int, ids)],
+                    dtype=object)
+
+
+def split_of_ids(ids) -> np.ndarray:
+    """Deterministic ~80/10/10 train/val/test assignment: first 8 hex
+    chars of md5(decimal id) mod 100 — identical on any engine, stable
+    under reshuffles. Post-hash mapping is vectorized."""
+    _md5 = hashlib.md5
+    n = len(ids)
+    b = np.fromiter(
+        (int(_md5(b"%d" % i).hexdigest()[:8], 16) % 100
+         for i in map(int, ids)), dtype=np.int64, count=n)
+    return np.where(b < 80, "train",
+                    np.where(b < 90, "val", "test")).astype(object)
+
+
 def sha1_u64(texts: pd.Series) -> np.ndarray:
     """First 8 bytes of SHA-1 as uint64 — stable content key for
     hash-partitioned dedup."""

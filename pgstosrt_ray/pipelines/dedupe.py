@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.dedup import (MinHasher, char_shingle_hashes, jaccard,
+from ..functions.dedup import (MinHasher, char_shingle_hashes,
                                lsh_band_keys_matrix, popcount64, salt_bucket,
                                simhash64, word_ngram_hashes)
 from .reduce import bucketed_group_agg, join_partitions, shuffle_groups
@@ -422,21 +422,42 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
                  on=("doc_b",), right_on=("doc_id",))
 
     def verify(t: pa.Table) -> pa.Table:
-        out = {"doc_a": [], "doc_b": [], "jaccard3": []}
-        for a, b, ga, gb in zip(t.column("doc_a").to_pylist(),
-                                t.column("doc_b").to_pylist(),
-                                t.column("grams_a").to_pylist(),
-                                t.column("grams").to_pylist()):
-            j = jaccard(np.frombuffer(ga, dtype=np.uint64),
-                        np.frombuffer(gb, dtype=np.uint64))
-            if j >= threshold:
-                out["doc_a"].append(a)
-                out["doc_b"].append(b)
-                out["jaccard3"].append(j)
-        return pa.table({"doc_a": pa.array(out["doc_a"], pa.int64()),
-                         "doc_b": pa.array(out["doc_b"], pa.int64()),
-                         "jaccard3": pa.array(out["jaccard3"],
-                                              pa.float64())})
+        # vectorized per-pair exact Jaccard: gram blobs are SORTED
+        # UNIQUE uint64 sets (word_ngram_hashes), so intersection
+        # sizes fall out of one lexsort over (pair, hash) of both
+        # sides concatenated — equal adjacent rows are cross-side
+        # matches (each side is unique within a pair). No per-pair
+        # Python set ops (round-3 verdict finding #3).
+        n = t.num_rows
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard3": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        ga = [np.frombuffer(x, dtype=np.uint64)
+              for x in t.column("grams_a").to_pylist()]
+        gb = [np.frombuffer(x, dtype=np.uint64)
+              for x in t.column("grams").to_pylist()]
+        la = np.fromiter((x.size for x in ga), dtype=np.int64, count=n)
+        lb = np.fromiter((x.size for x in gb), dtype=np.int64, count=n)
+        pid = np.concatenate([np.repeat(np.arange(n), la),
+                              np.repeat(np.arange(n), lb)])
+        h = (np.concatenate(ga + gb) if pid.size
+             else np.zeros(0, dtype=np.uint64))
+        order = np.lexsort((h, pid))
+        p, hs = pid[order], h[order]
+        dup = (p[1:] == p[:-1]) & (hs[1:] == hs[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+        union = la + lb - inter
+        # both-empty gram sets => Jaccard 1.0 (functions/dedup.jaccard)
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = j >= threshold
+        return pa.table({
+            "doc_a": pa.array(t.column("doc_a").to_numpy()[keep],
+                              pa.int64()),
+            "doc_b": pa.array(t.column("doc_b").to_numpy()[keep],
+                              pa.int64()),
+            "jaccard3": pa.array(j[keep], pa.float64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
 

@@ -20,8 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import (bucketed_group_agg, join_partitions,
-                     materialize_nonempty)
+from .reduce import (bucketed_group_agg, buckets_for, input_bytes,
+                     join_partitions, materialize_nonempty, parquet_rows)
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -143,19 +143,28 @@ SQL_UNNEST_TOKENS = (
     "FROM documents")
 
 
-TOKEN_BUCKETS = 64
+# above this many docs, a token's posting list splits into multiple
+# output rows (stop-word defense: no single row/frame ever holds an
+# unbounded posting list). The default never triggers at driver scale,
+# so the SQL oracle (one row per token) stays exact.
+POSTING_CAP = 100_000
 
 
-def q_inverted_index(sf_dir: str, buckets: int = TOKEN_BUCKETS):
+def q_inverted_index(sf_dir: str, buckets: int | None = None,
+                     posting_cap: int = POSTING_CAP):
     """Corpus inverted index: token -> sorted distinct posting list +
     document frequency. The training-data retrieval staple. Shuffle is
-    bucketed on md5(token) % B (a knob), never one Ray group per token
-    (vocabulary-cardinality at 100 TB); per-bucket posting-list build
-    is an in-process pandas groupby. Postings per token are bounded by
-    document frequency — for stop-word-like tokens at corpus scale,
-    cap or split postings per token (documented limit)."""
+    bucketed on hash(token) % B — B data-sized from the text bytes
+    (buckets_for), never one Ray group per token (vocabulary-
+    cardinality at 100 TB); per-bucket posting-list build is fully
+    vectorized (sort + unique-boundary split, no per-token Python).
+    Tokens with more than ``posting_cap`` docs emit MULTIPLE rows of
+    <= cap postings each (same schema; n_docs = docs in that row), so
+    a corpus-scale stop-word can never blow up one task's frame."""
     from ..functions.text import TOKEN_RE
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    buckets = buckets or buckets_for(input_bytes(
+        f"{sf_dir}/documents.parquet"))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(TOKEN_RE).map(
@@ -172,12 +181,41 @@ def q_inverted_index(sf_dir: str, buckets: int = TOKEN_BUCKETS):
             "token": flat.to_numpy(), "_b": b})
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("token", sort=True)["doc_id"].agg(
-            lambda s: sorted(set(int(x) for x in s)))
+        # vectorized posting-list build: one sort, distinct
+        # (token, doc) pairs, then boundary-index splits — no
+        # per-token Python aggregation lambda
+        g = (g.sort_values(["token", "doc_id"])
+             .drop_duplicates(["token", "doc_id"]))
+        toks = g["token"].to_numpy()
+        docs = g["doc_id"].to_numpy().astype(np.int64)
+        if not len(toks):
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "postings": pd.Series([], dtype="object"),
+                                 "n_docs": pd.Series([], dtype="int64")})
+        first = np.ones(len(toks), dtype=bool)
+        first[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(toks))
+        counts = ends - starts
+        if (counts <= posting_cap).all():
+            # common path: pure boundary split, no per-token Python
+            postings = [p.tolist() for p in np.split(docs, starts[1:])]
+            return pd.DataFrame({
+                "token": pd.Series(toks[starts], dtype="object"),
+                "postings": pd.Series(postings, dtype="object"),
+                "n_docs": counts.astype("int64")})
+        out_tok, out_post = [], []
+        for s, e in zip(starts, ends):
+            # posting_cap sharding (stop-word path only): one output
+            # row per <=cap slice of the token's postings
+            for c in range(s, e, posting_cap):
+                out_tok.append(toks[s])
+                out_post.append(docs[c:min(c + posting_cap, e)].tolist())
         return pd.DataFrame({
-            "token": agg.index.to_numpy(),
-            "postings": agg.to_numpy(),
-            "n_docs": agg.str.len().astype("int64").to_numpy()})
+            "token": pd.Series(out_tok, dtype="object"),
+            "postings": pd.Series(out_post, dtype="object"),
+            "n_docs": pd.Series([len(p) for p in out_post],
+                                dtype="int64")})
 
     return (ds.map_batches(pairs, batch_format="pandas")
             .groupby("_b").map_groups(build, batch_format="pandas"))
@@ -196,18 +234,20 @@ def q_sample_per_key(sf_dir: str, n: int = 2):
     content hash (md5 of the event id) — the 'cap documents per
     domain' sampling pattern: stable under reruns and row order, no
     RNG state to coordinate. Bucketed shuffle, vectorized ranking."""
+    from ..functions.text import md5_of_ids
     from .relational import _by_key_bucketed
     ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
 
     def cap(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["event_id"].map(
-            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest())
-        g = g.assign(_k=key).sort_values(["user_id", "_k", "event_id"])
+        g = g.assign(_k=md5_of_ids(g["event_id"].to_numpy()))
+        g = g.sort_values(["user_id", "_k", "event_id"])
         rn = g.groupby("user_id", sort=False).cumcount()
         return (g[rn.to_numpy() < n][["event_id", "user_id"]]
                 .reset_index(drop=True))
 
-    return _by_key_bucketed(ds, "user_id", cap)
+    return _by_key_bucketed(ds, "user_id", cap,
+                            est_bytes=input_bytes(
+                                f"{sf_dir}/events.parquet"))
 
 
 SQL_SAMPLE_PER_KEY = (
@@ -558,10 +598,10 @@ def q_prep_corpus(sf_dir: str):
     normalized text) -> deterministic train/val/test split. One
     shuffle total (the dedup bucket groupby); everything else is
     narrow maps. Output (doc_id, split) of the surviving corpus."""
-    from .relational import USER_BUCKETS
-    from ..functions.text import md5_fingerprint
+    from ..functions.text import md5_fingerprint, split_of_ids
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    B = USER_BUCKETS
+    # ids+fp rows only enter the shuffle => row-count-based sizing
+    B = buckets_for(48 * parquet_rows(f"{sf_dir}/documents.parquet"))
 
     def stage1(df: pd.DataFrame) -> pa.Table:
         nt = (df["text"].str.lower()
@@ -579,13 +619,9 @@ def q_prep_corpus(sf_dir: str):
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values("doc_id").drop_duplicates("fp", keep="first"))
-        bkt = g["doc_id"].map(
-            lambda i: int(hashlib.md5(str(int(i)).encode())
-                          .hexdigest()[:8], 16) % 100)
-        split = bkt.map(lambda x: "train" if x < 80
-                        else ("val" if x < 90 else "test"))
         return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                             "split": split.to_numpy()})
+                             "split": split_of_ids(
+                                 g["doc_id"].to_numpy())})
 
     return (ds.map_batches(stage1, batch_format="pandas")
             .groupby("_b").map_groups(keep_first, batch_format="pandas"))

@@ -113,7 +113,8 @@ def _spans_of(pages_ds, cfg: PipelineConfig, demux_bs: int,
         num_cpus=cfg.extract_num_cpus)
 
 
-def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 est_bytes: int | None = None):
     """pages Dataset -> docs Dataset (url, text, n_cues). Lazy.
 
     Skew defense: see ``PipelineConfig.skew_block_bytes`` — one input
@@ -126,7 +127,11 @@ def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     # bucket (B groups) instead of per url (millions at scale); the
     # same sha1(url) keying the checkpoint sink uses (state/checkpoint)
     from ..state.checkpoint import partition_of
-    n_buckets = cfg.assemble_buckets
+    from .reduce import buckets_for
+    # each assembly bucket arrives as one frame => data-sized count
+    # (cfg.assemble_buckets is the parallelism floor; the shuffled
+    # spans are extracted TEXT, far below the page bytes upper bound)
+    n_buckets = buckets_for(est_bytes, floor=cfg.assemble_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # hash each UNIQUE url once (spans carry many rows per url),
@@ -150,7 +155,9 @@ def extract_docs(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 def extract_corpus_docs(corpus: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Corpus directory -> docs Dataset."""
-    return extract_docs(read_pages(corpus, lang=cfg.lang), cfg)
+    from .reduce import input_bytes
+    return extract_docs(read_pages(corpus, lang=cfg.lang), cfg,
+                        est_bytes=input_bytes(f"{corpus}/pages"))
 
 
 def docs_to_table(docs_ds) -> pa.Table:

@@ -62,6 +62,64 @@ def reduce_fanin() -> int:
     return max(16, cluster_cpus())
 
 
+# Target on-disk parquet bytes per shuffle bucket. Each bucket of the
+# bucketed map_groups family arrives as ONE in-process frame, so this
+# is the per-task memory ceiling knob: ~64 MB of (compressed) parquet
+# decodes to a few hundred MB in-heap — comfortably inside a worker.
+TARGET_BUCKET_DISK_BYTES = 64 << 20
+
+
+def input_bytes(*paths) -> int:
+    """Total on-disk bytes of the given parquet files/directories —
+    a metadata-only estimate (no data read, no Dataset execution) for
+    sizing shuffle-bucket counts at read time."""
+    import os
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files if f.endswith(".parquet"))
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def parquet_rows(*paths) -> int:
+    """Total row count from parquet FOOTER metadata (no data read) —
+    for sizing shuffles whose payload is per-row-constant (id +
+    fingerprint rows) rather than proportional to stored bytes."""
+    import os
+
+    import pyarrow.parquet as pq
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, fs in os.walk(p):
+                files += [os.path.join(root, f) for f in fs
+                          if f.endswith(".parquet")]
+        elif os.path.exists(p):
+            files.append(p)
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def buckets_for(est_bytes: int | None = None,
+                target_bytes: int = TARGET_BUCKET_DISK_BYTES,
+                floor: int | None = None) -> int:
+    """Data-sized bucket count for the salted-shuffle map_groups
+    family: max(cluster floor, ceil(input bytes / target per-bucket
+    bytes)). A FIXED bucket count B materializes corpus/B rows per
+    task — ~1.5 TB per task at 100 TB with B=64, an OOM no cluster
+    size fixes; deriving B from the input keeps every bucket frame
+    under ``target_bytes`` (in on-disk terms) no matter how the corpus
+    grows, while the ``shuffle_groups()`` floor keeps small inputs
+    parallel enough to saturate the cluster."""
+    floor = shuffle_groups() if floor is None else floor
+    if not est_bytes or est_bytes <= 0:
+        return floor
+    return int(max(floor, -(-int(est_bytes) // int(target_bytes))))
+
+
 def tree_topk(ds, sort_cols, ascending, k: int,
               batch_size: int | None = 65536, fanin: int | None = None):
     """Global top-k WITHOUT a global sort and WITHOUT a driver-side
@@ -178,7 +236,8 @@ def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
             .map_batches(fold, batch_format="pyarrow", batch_size=None))
 
 
-def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None):
+def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None,
+                       est_bytes: int | None = None):
     """High-cardinality grouped aggregation via the salted-bucket
     pattern: tag ``_b = row_hash(key_cols) % B``, ONE groupby over B
     buckets, vectorized pandas aggregation per bucket.
@@ -194,8 +253,11 @@ def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None):
     ``agg_fn(bucket_df) -> DataFrame`` runs per bucket and must stay
     vectorized (pandas groupby agg); every key lands in exactly one
     bucket, so per-bucket aggregation is globally correct. Bucket
-    count scales with the cluster (shuffle_groups)."""
-    B = buckets or shuffle_groups()
+    count scales with the cluster (shuffle_groups floor) AND with the
+    data when the caller passes ``est_bytes`` (buckets_for) — each
+    bucket arrives as one in-process frame, so callers whose grouped
+    rows grow with the corpus should size it."""
+    B = buckets or buckets_for(est_bytes)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_cols],

@@ -22,13 +22,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .reduce import (agg_fold_blobs, agg_topk, bucketed_group_agg,
-                     join_partitions)
+                     buckets_for, input_bytes, join_partitions,
+                     parquet_rows)
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
                                  columns=columns, **kw)
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    return input_bytes(f"{sf_dir}/{table}.parquet")
 
 
 def _cents(col):
@@ -161,9 +166,6 @@ SQL_HASH_JOIN = (
     "GROUP BY o_orderstatus")
 
 
-USER_BUCKETS = 64
-
-
 def _schema_normalizer(schema: pa.Schema):
     """Cast stage pinning block schemas: a pandas block whose nullable
     column is ALL-NaT/None in one bucket converts to arrow type
@@ -182,18 +184,28 @@ def _schema_normalizer(schema: pa.Schema):
 
 
 def _by_key_bucketed(ds, key: str, per_bucket_fn,
-                     buckets: int = USER_BUCKETS,
-                     out_schema: pa.Schema | None = None):
+                     buckets: int | None = None,
+                     out_schema: pa.Schema | None = None,
+                     est_bytes: int | None = None):
     """Per-key ordered computation, shuffled on hash(key) % buckets
     instead of the raw key: the wide op moves small-int keys and pays
-    Ray's per-group overhead per BUCKET (a cluster-size knob), not per
-    key (millions at 100 TB); the exact per-key work happens in-process
-    inside each bucket — the same pattern as the flagship's sha1(url)%B
-    assembly. ``per_bucket_fn`` receives the WHOLE bucket frame and
-    must stay vectorized (pandas groupby(key) transforms — shift /
-    cummax / cumsum / cumcount), never a Python loop over keys."""
+    Ray's per-group overhead per BUCKET, not per key (millions at
+    100 TB); the exact per-key work happens in-process inside each
+    bucket — the same pattern as the flagship's sha1(url)%B assembly.
+    ``per_bucket_fn`` receives the WHOLE bucket frame and must stay
+    vectorized (pandas groupby(key) transforms — shift / cummax /
+    cumsum / cumcount), never a Python loop over keys.
+
+    Each bucket materializes as ONE frame, so the bucket count is
+    DATA-SIZED: callers pass ``est_bytes`` (on-disk input bytes,
+    metadata-only) and ``buckets_for`` keeps per-bucket frames under
+    TARGET_BUCKET_DISK_BYTES regardless of corpus size, with the
+    cluster-parallelism floor for small inputs. The bucket tag only
+    partitions — results are invariant to the count."""
     import numpy as np
     import pandas as pd
+
+    buckets = buckets or buckets_for(est_bytes)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         kv = t.column(key).to_numpy().astype(np.uint64)
@@ -215,9 +227,10 @@ def _by_key_bucketed(ds, key: str, per_bucket_fn,
     return out
 
 
-def _by_user_bucketed(ds, per_bucket_fn, out_schema=None):
+def _by_user_bucketed(ds, per_bucket_fn, out_schema=None,
+                      est_bytes=None):
     return _by_key_bucketed(ds, "user_id", per_bucket_fn,
-                            out_schema=out_schema)
+                            out_schema=out_schema, est_bytes=est_bytes)
 
 
 # --- M8: ordered forward-fill / lead within key groups -------------------
@@ -235,7 +248,8 @@ def q_window_fill(sf_dir: str):
     schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                         ("ts", pa.timestamp("us")),
                         ("next_ts", pa.timestamp("us"))])
-    return _by_user_bucketed(ds, fill, out_schema=schema)
+    return _by_user_bucketed(ds, fill, out_schema=schema,
+                             est_bytes=_table_bytes(sf_dir, "events"))
 
 SQL_WINDOW_FILL = (
     "SELECT event_id, user_id, ts, "
@@ -267,7 +281,8 @@ def q_min_per_group(sf_dir: str):
             max_price=("o_totalprice", "max"),
             n_orders=("o_totalprice", "count"))
 
-    return bucketed_group_agg(ds, ["o_custkey"], per_bucket)
+    return bucketed_group_agg(ds, ["o_custkey"], per_bucket,
+                              est_bytes=_table_bytes(sf_dir, "orders"))
 
 SQL_MIN_PER_GROUP = (
     "SELECT o_custkey, MIN(o_totalprice) AS min_price, "
@@ -378,17 +393,14 @@ def q_train_split(sf_dir: str):
     """Hash-deterministic ~80/10/10 split: bucket = first 8 hex chars
     of md5(doc_id-as-string) mod 100 — identical on any engine, stable
     under reshuffles/reruns (the training-data holdout pattern)."""
-    import hashlib
     import pandas as pd
+    from ..functions.text import split_of_ids
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        b = df["doc_id"].map(
-            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8],
-                          16) % 100)
-        split = b.map(lambda x: "train" if x < 80
-                      else ("val" if x < 90 else "test"))
-        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "split": split_of_ids(
+                                 df["doc_id"].to_numpy())})
 
     return ds.map_batches(assign, batch_format="pandas")
 
@@ -424,7 +436,8 @@ def q_top_tokens(sf_dir: str, k: int = 100):
     # partial counts, then the in-cluster top-k
     total = bucketed_group_agg(
         ds.map_batches(counts, batch_format="pandas"), ["token"],
-        lambda g: g.groupby("token", as_index=False)["n"].sum())
+        lambda g: g.groupby("token", as_index=False)["n"].sum(),
+        est_bytes=_table_bytes(sf_dir, "documents"))
     return agg_topk(total, ["n", "token"], [False, True], k=k)
 
 SQL_TOP_TOKENS = (
@@ -490,7 +503,8 @@ def q_distinct_users_exact(sf_dir: str):
     # bucketed-distinct dataset IS the global distinct count)
     distinct = bucketed_group_agg(
         uniq, ["user_id"],
-        lambda g: g.drop_duplicates("user_id").reset_index(drop=True))
+        lambda g: g.drop_duplicates("user_id").reset_index(drop=True),
+        est_bytes=16 * parquet_rows(f"{sf_dir}/events.parquet"))
     return pa.table({"n_users": pa.array([distinct.count()], pa.int64())})
 
 SQL_DISTINCT_USERS = ("SELECT COUNT(DISTINCT user_id) AS n_users "
@@ -536,9 +550,13 @@ def q_exact_dedup(sf_dir: str):
             keeper_id=("doc_id", "min"), n_copies=("doc_id", "count"))
 
     # fingerprint cardinality == corpus size => bucketed aggregation,
-    # never a raw-key groupby (reduce.bucketed_group_agg rationale)
+    # never a raw-key groupby (reduce.bucketed_group_agg rationale);
+    # shuffled rows are constant-width (fp + id), so the bucket count
+    # sizes from the row count, not the text bytes
     return bucketed_group_agg(ds.map_batches(fp, batch_format="pandas"),
-                              ["fp"], per_bucket)
+                              ["fp"], per_bucket,
+                              est_bytes=48 * parquet_rows(
+                                  f"{sf_dir}/documents.parquet"))
 
 SQL_EXACT_DEDUP = (
     "SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, "
@@ -548,33 +566,43 @@ SQL_EXACT_DEDUP = (
 # --- exact dedup, end to end: materialize the DEDUPLICATED corpus ---------
 def q_exact_dedup_keep(sf_dir: str):
     """documents -> (doc_id, text) keeping the min-doc_id copy of each
-    distinct text. ONE shuffle keyed on hash(fp) % B salted buckets
-    (not the raw fingerprint — one Ray group per distinct text would
-    be corpus-cardinality at scale); in-bucket keeper selection is an
-    in-process pandas drop_duplicates."""
-    import numpy as np
+    distinct text — WITHOUT the text ever riding the dedup shuffle:
+
+      1. map_batches computes (doc_id, fp) only — constant-width rows;
+      2. keeper selection shuffles those rows on hash(fp) % B salted
+         buckets (B data-sized from the row count via buckets_for —
+         never one Ray group per distinct text, never a fixed B) and
+         keeps min doc_id per fp in-process;
+      3. the keeper ids SEMI-JOIN back against the pruned source read
+         to emit (doc_id, text) — the same pattern as
+         dedupe.ngram_jaccard_verify. Texts of dropped duplicates are
+         read but never shuffled as whole-bucket frames; surviving
+         texts stream through bounded join partitions instead of a
+         corpus/B-row map_groups frame.
+    """
     import pandas as pd
     from ..functions.text import md5_fingerprint
-    B = 64
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pa.Table:
-        fps = md5_fingerprint(df["text"])
-        b = np.fromiter((int(f[:8], 16) % B for f in fps),
-                        dtype=np.int32, count=len(fps))
         return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
-                         "text": pa.array(df["text"], pa.string()),
-                         "fp": pa.array(fps, pa.string()),
-                         "_b": pa.array(b, pa.int32())})
+                         "fp": pa.array(md5_fingerprint(df["text"]),
+                                        pa.string())})
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # pandas return required (see _by_user_bucketed note)
         return (g.sort_values("doc_id")
-                .drop_duplicates("fp", keep="first")[["doc_id", "text"]]
+                .drop_duplicates("fp", keep="first")[["doc_id"]]
                 .reset_index(drop=True))
 
-    return (ds.map_batches(fp, batch_format="pandas")
-            .groupby("_b").map_groups(keep_first, batch_format="pandas"))
+    from .reduce import materialize_nonempty
+    keepers = materialize_nonempty(bucketed_group_agg(
+        ds.map_batches(fp, batch_format="pandas"), ["fp"], keep_first,
+        est_bytes=48 * parquet_rows(f"{sf_dir}/documents.parquet")))
+    src = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return src.join(keepers.map_batches(
+        lambda t: t.rename_columns(["keep_id"]), batch_format="pyarrow"),
+        "left_semi", join_partitions(),
+        on=("doc_id",), right_on=("keep_id",))
 
 
 SQL_EXACT_DEDUP_KEEP = (
@@ -638,7 +666,8 @@ def q_asof_join(sf_dir: str):
     schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                         ("ts", pa.timestamp("us")),
                         ("last_purchase_ts", pa.timestamp("us"))])
-    return _by_user_bucketed(ds, asof, out_schema=schema)
+    return _by_user_bucketed(ds, asof, out_schema=schema,
+                             est_bytes=_table_bytes(sf_dir, "events"))
 
 SQL_ASOF_JOIN = (
     "SELECT event_id, user_id, ts, "
@@ -651,16 +680,18 @@ SQL_ASOF_JOIN = (
 RANGE_US = 5 * 60 * 1_000_000  # 5-minute proximity window
 
 
-def q_event_pairs_range(sf_dir: str, groups: int = USER_BUCKETS):
+def q_event_pairs_range(sf_dir: str, groups: int | None = None):
     """Pairs of same-user events within 5 minutes of each other — a
     NON-EQUI (range) join done scalably by time banding: each event
     lands in bands {b, b+1} (band = ts // 5 min), candidates pair only
     within salted (user, band) buckets, and a pair is counted exactly
     once in the bucket of max(band_a, band_b) (its unique shared
     band), then filtered by the exact |dt| <= 5 min predicate.
-    No all-pairs blowup: work is proportional to events per band."""
+    No all-pairs blowup: work is proportional to events per band.
+    Bucket count is data-sized (2x for the band-duplicated rows)."""
     import numpy as np
     import pandas as pd
+    groups = groups or buckets_for(2 * _table_bytes(sf_dir, "events"))
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -759,7 +790,8 @@ def q_sessionize(sf_dir: str):
         return out[["user_id", "session_id", "n_events",
                     "start_ts", "end_ts"]]
 
-    return _by_user_bucketed(ds, sessions)
+    return _by_user_bucketed(ds, sessions,
+                             est_bytes=_table_bytes(sf_dir, "events"))
 
 SQL_SESSIONIZE = f"""
 WITH flagged AS (
@@ -801,7 +833,8 @@ def q_tumbling_window(sf_dir: str):
         lambda g: g.groupby(["user_id", "window_start"],
                             as_index=False).agg(
             sum_value_milli=("value_milli", "sum"),
-            n_events=("value_milli", "count")))
+            n_events=("value_milli", "count")),
+        est_bytes=_table_bytes(sf_dir, "events"))
 
 SQL_TUMBLING_WINDOW = (
     "SELECT user_id, date_trunc('hour', ts) AS window_start, "
@@ -841,7 +874,8 @@ def q_hopping_window(sf_dir: str):
         lambda g: g.groupby(["user_id", "window_start"],
                             as_index=False).agg(
             sum_value_milli=("value_milli", "sum"),
-            n_events=("value_milli", "count")))
+            n_events=("value_milli", "count")),
+        est_bytes=HOPS_PER_WINDOW * _table_bytes(sf_dir, "events"))
 
 SQL_HOPPING_WINDOW = (
     "SELECT user_id, "
@@ -873,7 +907,8 @@ def q_top_orders_per_cust(sf_dir: str, n: int = 3):
         g["rn"] = g["rn"].astype("int64")
         return g[g["rn"] <= n].reset_index(drop=True)
 
-    return _by_key_bucketed(ds, "o_custkey", topn)
+    return _by_key_bucketed(ds, "o_custkey", topn,
+                            est_bytes=_table_bytes(sf_dir, "orders"))
 
 SQL_TOP_ORDERS_PER_CUST = (
     "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
