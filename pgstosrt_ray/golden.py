@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v3"
+GOLDEN_VERSION = "v4"  # v4: IVF trains on hash(vec_id) uniform sample
 U64 = np.uint64
 MASK64 = (1 << 64) - 1
 FNV_PRIME = 1099511628211
@@ -311,7 +311,13 @@ def golden_ann_ivf(sf_dir: str, k: int = 50, nprobe: int = 12,
                    n_cells: int = 32, sample: int = 2048,
                    iters: int = 10, seed: int = 11) -> pa.Table:
     ids, m = _embeddings(sf_dir)
-    samp = m[:sample].copy()
+    # deterministic uniform sample: the ``sample`` smallest
+    # hash(vec_id) rows, ordered by (hash, vec_id) — mirrors
+    # similarity.build_ivf_index's distributed top-k draw
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    order = np.lexsort((ids, h))[:sample]
+    samp = m[order].astype(np.float64).copy()
     samp /= np.linalg.norm(samp, axis=1, keepdims=True).clip(min=1e-12)
     rng = np.random.RandomState(seed)
     cent = samp[rng.choice(len(samp), size=min(n_cells, len(samp)),

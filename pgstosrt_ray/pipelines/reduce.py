@@ -182,11 +182,26 @@ def agg_topk(ds, sort_cols, ascending, k: int) -> pa.Table:
         init=lambda _: b"", accumulate_block=acc_block, merge=merge,
         finalize=lambda st: st if st else pickle.dumps(None),
         name="topk"))
-    df = load(out["topk"])
+    # Dataset.aggregate returns None on an EMPTY dataset (reachable
+    # when LSH/IVF probing yields zero hits): return a typed empty
+    # table carrying the full input schema, not just the sort columns
+    df = None if out is None else load(out.get("topk"))
     if df is None:
-        df = pd.DataFrame(columns=sort_cols)
+        return _empty_arrow_like(ds, sort_cols)
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def _empty_arrow_like(ds, fallback_cols) -> pa.Table:
+    """Zero-row arrow table with the dataset's declared schema (or
+    null-typed fallback columns when even the schema is unknown)."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is not None:
+            return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    except Exception:
+        pass
+    return pa.table({c: pa.array([]) for c in fallback_cols})
 
 
 def agg_fold_blobs(ds, col: str, merge_fn) -> bytes:
@@ -215,7 +230,8 @@ def agg_fold_blobs(ds, col: str, merge_fn) -> bytes:
     out = ds.aggregate(AggregateFn(
         init=lambda _: b"", accumulate_block=acc_block, merge=merge,
         finalize=lambda st: st if st else merge_fn([]), name="fold"))
-    return out["fold"]
+    # empty dataset => aggregate returns None => identity element
+    return merge_fn([]) if out is None else out["fold"]
 
 
 def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
@@ -290,5 +306,12 @@ def materialize_nonempty(ds):
     refs = [ref for bundle in mat.iter_internal_ref_bundles()
             for ref, meta in bundle.blocks if meta.num_rows]
     if not refs:
+        # ALL blocks empty: returning mat would hand back exactly the
+        # schemaless empty blocks this helper exists to scrub — build
+        # one typed empty block from the declared schema instead (a
+        # fully-empty join input then still resolves its key fields)
+        empty = _empty_arrow_like(mat, [])
+        if empty.num_columns:
+            return ray.data.from_arrow(empty)
         return mat
     return ray.data.from_arrow_refs(refs)

@@ -323,19 +323,48 @@ def lsh_topk(sf_dir: str, k: int = TOP_K, bits: int = 4,
     return _topk_of(probe_fn(_query_buckets(qn, bits, probes)), qn, k)
 
 
+# Fibonacci-multiplier id hash for the IVF training sample: taking the
+# ``sample`` smallest hash values is a uniform deterministic sample of
+# the whole table — unlike ds.limit(), which takes the FIRST blocks
+# and fits centroids on one region when the table is sorted/clustered
+# (round-3 verdict #6). Distributed as an in-cluster top-k (agg_topk),
+# so the driver still only sees ``sample`` rows.
+SAMPLE_MULT = 0x9E3779B97F4A7C15
+
+
+def _sample_hash(ids: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ids.astype(np.uint64) * np.uint64(SAMPLE_MULT)
+
+
+def _hash_sample_pandas(ds, sample: int) -> pd.DataFrame:
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_h"] = _sample_hash(df["vec_id"].to_numpy())
+        return out
+
+    top = agg_topk(ds.map_batches(tag, batch_format="pandas",
+                                  batch_size=4096),
+                   ["_h", "vec_id"], [True, True], k=sample).to_pandas()
+    return top.drop(columns=["_h"])
+
+
 def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
                     iters: int = 10, seed: int = 11):
     """IVF coarse index: k-means centroids fitted on a driver-side
-    SAMPLE (small by construction), assignment distributed via
-    ``map_batches`` argmax, cell-tagged dataset materialized once.
-    Returns (centroids (n_cells, dim) unit-norm, probe_fn)."""
+    SAMPLE — the ``sample`` rows with smallest hash(vec_id), a
+    deterministic uniform draw over the WHOLE table (no first-blocks
+    bias on sorted/clustered inputs) reduced in-cluster — assignment
+    distributed via ``map_batches`` argmax, cell-tagged dataset
+    materialized once. Returns (centroids (n_cells, dim) unit-norm,
+    probe_fn)."""
     import ray.data
     key = (sf_dir, n_cells, seed, _data_fingerprint(sf_dir))
     if key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    samp = ds.limit(sample).to_pandas()
+    samp = _hash_sample_pandas(ds, sample)
     m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
     rng = np.random.RandomState(seed)

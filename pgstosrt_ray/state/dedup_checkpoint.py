@@ -58,6 +58,46 @@ def _write_atomic(dir_path: str, part_id: int, table: pa.Table,
     os.replace(tmp_m, os.path.join(mdir, f"{part_id}.json"))
 
 
+SIG_SCHEMA_VERSION = 1
+
+
+def _stage_manifest(dir_path: str, expected: dict) -> dict:
+    """Stage-level manifest guarding resume parameters: partition /
+    group COUNTS (and schema version) are baked into the on-disk
+    layout — resuming with a different count would remap
+    doc_id -> pid / (band, key) -> grp and silently mis-filter (some
+    partitions never processed, stale files from the old salting still
+    read). Written atomically on first use; any later run with
+    different parameters fails loudly instead."""
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, "_stage.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+        clash = {k: (have.get(k), v) for k, v in expected.items()
+                 if have.get(k) != v}
+        if clash:
+            raise ValueError(
+                f"dedup checkpoint resume parameter mismatch under "
+                f"{dir_path}: {clash} (existing vs requested). Resume "
+                f"with the original parameters or start a fresh "
+                f"out_dir.")
+        return have
+    fd, tmp = tempfile.mkstemp(dir=dir_path)
+    with os.fdopen(fd, "w") as f:
+        json.dump(expected, f)
+    os.replace(tmp, path)
+    return expected
+
+
+def _read_stage(dir_path: str) -> dict | None:
+    path = os.path.join(dir_path, "_stage.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def _pid_of_ids(ids, parts: int):
     """Stable partition id per doc_id (sha1 of the decimal id — no
     process hashing, identical across runs/processes)."""
@@ -77,6 +117,8 @@ def checkpoint_signatures(sf_dir: str, out_dir: str, parts: int = 16,
     from ..pipelines.dedupe import _minhash_sig_batch, _read_docs
 
     sig_dir = os.path.join(out_dir, "sigs")
+    _stage_manifest(sig_dir, {"parts": parts,
+                              "sig_schema_version": SIG_SCHEMA_VERSION})
     done = completed_partitions(sig_dir)
     t0 = time.perf_counter()
 
@@ -148,14 +190,21 @@ def checkpoint_pairs(out_dir: str, groups: int = 32,
 
     sig_dir = os.path.join(out_dir, "sigs")
     pair_dir = os.path.join(out_dir, "pairs")
-    if not completed_partitions(sig_dir):
-        # stage-1 completeness is the caller's contract
-        # (run_checkpointed_dedup sequences the stages); an empty or
-        # half-written signature dir must fail loudly, not produce a
-        # silently partial pair set
+    sig_stage = _read_stage(sig_dir)
+    sig_done = completed_partitions(sig_dir)
+    # stage-1 must be COMPLETE (all recorded partitions), not merely
+    # started: pairing from partial signatures would permanently mark
+    # pair groups done with missing candidates, and later resumes
+    # would skip them
+    if sig_stage is None or len(sig_done) != sig_stage["parts"]:
+        have = len(sig_done)
+        want = sig_stage["parts"] if sig_stage else "unknown"
         raise RuntimeError(
-            f"checkpoint_pairs: no completed signature partitions under "
-            f"{sig_dir}; run checkpoint_signatures to completion first")
+            f"checkpoint_pairs: signature stage incomplete under "
+            f"{sig_dir} ({have}/{want} partitions); run "
+            f"checkpoint_signatures to completion first")
+    _stage_manifest(pair_dir, {"groups": groups,
+                               "sig_parts": sig_stage["parts"]})
     done = completed_partitions(pair_dir)
     t0 = time.perf_counter()
     sigs = ray.data.read_parquet(os.path.join(sig_dir))
@@ -214,30 +263,66 @@ def finish_dedup_keep(sf_dir: str, out_dir: str,
                       threshold: float = 0.5):
     """Finish leg from persisted artifacts: distinct candidate ids ->
     signature re-join + Jaccard estimate -> label propagation ->
-    surviving doc_ids. Returns a Dataset."""
+    surviving doc_ids. Returns a Dataset.
+
+    The converged LABELS persist under ``out_dir/labels`` with the
+    same atomic-manifest pattern as the earlier stages, so a resumed
+    run skips the propagation rounds entirely (at 100 TB each round is
+    a join + bucketed min over the edge list — the expensive part of
+    the finish leg). Threshold is recorded in the stage manifest; a
+    different threshold fails loudly instead of serving stale labels."""
     import pyarrow.compute as pc
     import ray.data
 
     from ..pipelines import dedupe
 
-    sigs = ray.data.read_parquet(os.path.join(out_dir, "sigs"))
-    sigs = sigs.select_columns(["doc_id", "sig"]).materialize()
-    pair_files = [os.path.join(out_dir, "pairs", d, "data.parquet")
-                  for d in sorted(os.listdir(os.path.join(out_dir, "pairs")))
-                  if d.startswith("part=")]
-    nonempty = [p for p in pair_files if pq.ParquetFile(p).metadata.num_rows]
-    ids = dedupe._read_docs(sf_dir).select_columns(["doc_id"])
-    if not nonempty:
-        labels = ids.map_batches(
-            lambda t: pa.table({"doc_id": t.column("doc_id"),
-                                "cluster_id": t.column("doc_id")}),
-            batch_format="pyarrow")
+    labels_dir = os.path.join(out_dir, "labels")
+    have_labels = (_read_stage(labels_dir) is not None
+                   and completed_partitions(labels_dir))
+    if have_labels:
+        _stage_manifest(labels_dir, {"threshold": threshold})
+        labels = ray.data.read_parquet(os.path.join(labels_dir, "part=0"))
     else:
-        cand = dedupe._materialize_nonempty(
-            dedupe._distinct_pairs(ray.data.read_parquet(nonempty)))
-        verified = dedupe.estimate_pairs(cand, sigs, threshold)
-        edges = dedupe._materialize_nonempty(dedupe._edges_of(verified))
-        labels = dedupe.label_propagation(edges, ids)
+        sigs = ray.data.read_parquet(os.path.join(out_dir, "sigs"))
+        sigs = sigs.select_columns(["doc_id", "sig"]).materialize()
+        pair_files = [
+            os.path.join(out_dir, "pairs", d, "data.parquet")
+            for d in sorted(os.listdir(os.path.join(out_dir, "pairs")))
+            if d.startswith("part=")]
+        nonempty = [p for p in pair_files
+                    if pq.ParquetFile(p).metadata.num_rows]
+        ids = dedupe._read_docs(sf_dir).select_columns(["doc_id"])
+        if not nonempty:
+            labels = ids.map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                    "cluster_id": t.column("doc_id")}),
+                batch_format="pyarrow")
+        else:
+            cand = dedupe._materialize_nonempty(
+                dedupe._distinct_pairs(ray.data.read_parquet(nonempty)))
+            verified = dedupe.estimate_pairs(cand, sigs, threshold)
+            edges = dedupe._materialize_nonempty(dedupe._edges_of(verified))
+            labels = dedupe.label_propagation(edges, ids)
+        # persist DISTRIBUTED (write_parquet into a temp dir, atomic
+        # rename, manifest last) — the label table is corpus-sized, it
+        # must never collect on the driver
+        import shutil
+        _stage_manifest(labels_dir, {"threshold": threshold})
+        data_dir = os.path.join(labels_dir, "part=0")
+        tmp_dir = data_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        labels = labels.materialize()
+        labels.write_parquet(tmp_dir)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(tmp_dir, data_dir)
+        mdir = os.path.join(labels_dir, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        fd, tmp_m = tempfile.mkstemp(dir=mdir)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"part_id": 0, "stage": "labels",
+                       "written_at": time.time()}, f)
+        os.replace(tmp_m, os.path.join(mdir, "0.json"))
 
     def keepers(t: pa.Table) -> pa.Table:
         keep = pc.equal(t.column("doc_id"), t.column("cluster_id"))

@@ -87,5 +87,54 @@ def test_manifests_carry_metrics(ray_session, tmp_path):
 
 def test_pairs_require_completed_signatures(ray_session, tmp_path):
     from pgstosrt_ray.state import dedup_checkpoint as dc
-    with pytest.raises(RuntimeError, match="no completed signature"):
+    with pytest.raises(RuntimeError, match="signature stage incomplete"):
         dc.checkpoint_pairs(str(tmp_path / "nothing"), groups=4)
+
+
+def test_pairs_refuse_partial_signatures(ray_session, tmp_path):
+    """ADVICE: pairing directly after a stage-1 crash must refuse —
+    pairs from partial signatures would be permanently marked done."""
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "dedup")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_signatures(SF_DIR, out, parts=8, fail_after=3)
+    with pytest.raises(RuntimeError, match="3/8 partitions"):
+        dc.checkpoint_pairs(out, groups=16)
+
+
+def test_resume_with_different_parts_raises(ray_session, tmp_path):
+    """ADVICE: partition/group counts are baked into the on-disk
+    layout; resuming with different counts would remap ids and
+    silently mis-filter — it must fail loudly."""
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "dedup")
+    dc.checkpoint_signatures(SF_DIR, out, parts=8)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.checkpoint_signatures(SF_DIR, out, parts=4)
+    dc.checkpoint_pairs(out, groups=16)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.checkpoint_pairs(out, groups=32)
+
+
+def test_finish_leg_labels_persist(ray_session, tmp_path,
+                                   expected_keepers, monkeypatch):
+    """Round-3 VERDICT item 7: the converged label-propagation result
+    persists; a resumed finish leg reads it instead of re-running the
+    propagation rounds (asserted by poisoning label_propagation)."""
+    from pgstosrt_ray.pipelines import dedupe
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "dedup")
+    dc.checkpoint_signatures(SF_DIR, out, parts=8)
+    dc.checkpoint_pairs(out, groups=16)
+    keep1 = _rows(dc.finish_dedup_keep(SF_DIR, out))
+    assert keep1 == expected_keepers
+
+    def boom(*a, **kw):
+        raise AssertionError("label_propagation re-ran on resume")
+
+    monkeypatch.setattr(dedupe, "label_propagation", boom)
+    keep2 = _rows(dc.finish_dedup_keep(SF_DIR, out))
+    assert keep2 == expected_keepers
+    # a different threshold must NOT serve the cached labels
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.finish_dedup_keep(SF_DIR, out, threshold=0.9)

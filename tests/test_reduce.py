@@ -134,3 +134,37 @@ class TestAggTopk:
 
         got = agg_fold_blobs(_ds_of(df, blocks=5), "b", merge)
         assert got == merge(blobs)
+
+
+def test_agg_topk_empty_dataset_typed(ray_session):
+    """Dataset.aggregate returns None on an empty dataset (reachable
+    when LSH/IVF probing yields zero hits): agg_topk must return a
+    typed empty table with the FULL input schema, not raise and not
+    drop non-sort columns."""
+    import pyarrow as pa
+    import ray.data
+    from pgstosrt_ray.pipelines.reduce import agg_topk
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.float64())})
+    t = agg_topk(ray.data.from_arrow(empty), ["b", "a"], [False, True], k=5)
+    assert t.num_rows == 0
+    assert t.schema.names == ["a", "b"]
+    assert t.schema.field("a").type == pa.int64()
+
+
+def test_agg_fold_blobs_empty_dataset_identity(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pgstosrt_ray.pipelines.reduce import agg_fold_blobs
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.binary())}))
+    assert agg_fold_blobs(ds, "x", lambda bs: b"|".join(bs)) == b""
+
+
+def test_materialize_nonempty_all_empty_keeps_schema(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pgstosrt_ray.pipelines.reduce import materialize_nonempty
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    m = materialize_nonempty(ray.data.from_arrow(empty))
+    assert m.count() == 0
+    assert m.schema() is not None and m.schema().names == ["k"]
