@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v4"  # v4: IVF trains on hash(vec_id) uniform sample
+GOLDEN_VERSION = "v5"  # v5: frame_sha is hex text (DuckDB BLOB->bytearray
+#     breaks hash-based value compares); v4: IVF hash(vec_id) sample
 U64 = np.uint64
 MASK64 = (1 << 64) - 1
 FNV_PRIME = 1099511628211
@@ -441,7 +442,7 @@ def golden_grouped_approx_quantiles(sf_dir: str) -> pa.Table:
 _FRAME_SCHEMA = pa.schema([
     ("url", pa.string()), ("frame_idx", pa.int32()),
     ("start_ms", pa.int64()), ("end_ms", pa.int64()),
-    ("n_bytes", pa.int64()), ("frame_sha", pa.binary()),
+    ("n_bytes", pa.int64()), ("frame_sha", pa.string()),  # hex, not BLOB
 ])
 
 
@@ -478,7 +479,7 @@ def golden_media_frame_sample(corpus: str, k: int = 4) -> pa.Table:
                 cols["start_ms"].append(int(s))
                 cols["end_ms"].append(int(e))
                 cols["n_bytes"].append(len(blk))
-                cols["frame_sha"].append(hashlib.sha256(blk).digest())
+                cols["frame_sha"].append(hashlib.sha256(blk).hexdigest())
     return pa.Table.from_pydict(cols, schema=_FRAME_SCHEMA)
 
 

@@ -109,7 +109,10 @@ FRAME_SCHEMA = pa.schema([
     ("start_ms", pa.int64()),
     ("end_ms", pa.int64()),
     ("n_bytes", pa.int64()),
-    ("frame_sha", pa.binary()),
+    # hex STRING, not binary: DuckDB surfaces BLOB columns to pandas as
+    # unhashable ``bytearray`` objects, which breaks any hash/factorize
+    # based value compare (incl. the round driver's) on the oracle side
+    ("frame_sha", pa.string()),
 ])
 
 
@@ -152,7 +155,7 @@ class FrameSampleStage:
                 cols["start_ms"].append(int(s))
                 cols["end_ms"].append(int(e))
                 cols["n_bytes"].append(len(blk))
-                cols["frame_sha"].append(hashlib.sha256(blk).digest())
+                cols["frame_sha"].append(hashlib.sha256(blk).hexdigest())
         return pa.Table.from_pydict(cols, schema=FRAME_SCHEMA)
 
 

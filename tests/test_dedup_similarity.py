@@ -246,7 +246,10 @@ class TestPipelines:
         assert sorted(out.frame_idx) == [0, 2, 5, 8]
         assert sorted(out.start_ms) == [1000, 3000, 6000, 9000]
         assert (out.n_bytes > 2).all()
-        assert out.frame_sha.map(len).eq(32).all()
+        # hex sha256 text (not BLOB: DuckDB BLOB->pandas bytearray is
+        # unhashable and breaks value-compare harnesses)
+        assert out.frame_sha.map(len).eq(64).all()
+        assert out.frame_sha.str.fullmatch("[0-9a-f]{64}").all()
 
     def test_media_features_stub(self, ray_session):
         from pgstosrt_ray.pipelines.multimodal import media_features
