@@ -695,7 +695,11 @@ def q_event_pairs_range(sf_dir: str, groups: int | None = None):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def explode(t: pa.Table) -> pa.Table:
-        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        # normalize to us first: a ns-backed timestamp column (pandas-
+        # written parquet) would otherwise band in ns units and shrink
+        # the 5-minute window 1000x
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64()).to_numpy()
         band = ts_us // RANGE_US
         n = t.num_rows
         ev = np.tile(t.column("event_id").to_numpy(), 2)
@@ -719,26 +723,40 @@ def q_event_pairs_range(sf_dir: str, groups: int | None = None):
     buckets = ds.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_u, out_a, out_b = [], [], []
-        for (uid, k), cell in g.groupby(["user_id", "probe_band"],
-                                        sort=True):
-            cell = cell.sort_values("event_id")
-            ids = cell["event_id"].to_numpy()
-            if ids.size < 2:
-                continue
-            ts = cell["ts_us"].to_numpy()
-            ob = cell["orig_band"].to_numpy()
-            ia, ib = np.triu_indices(ids.size, k=1)
-            keep = ((np.abs(ts[ia] - ts[ib]) <= RANGE_US)
-                    & (np.maximum(ob[ia], ob[ib]) == k))
-            out_u.append(np.full(int(keep.sum()), uid, dtype=np.int64))
-            out_a.append(ids[ia][keep])
-            out_b.append(ids[ib][keep])
-        cat = (lambda xs: np.concatenate(xs) if xs
-               else np.zeros(0, dtype=np.int64))
-        return pd.DataFrame({"user_id": cat(out_u),
-                             "ev_a": cat(out_a).astype("int64"),
-                             "ev_b": cat(out_b).astype("int64")})
+        # one vectorized pass over the whole bucket: (user, band) cells
+        # become contiguous runs after the sort, and every within-run
+        # (earlier, later) pair is expanded with repeat/arange — no
+        # Python loop over cells, same per-band work bound as before
+        empty = pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                              "ev_a": np.zeros(0, np.int64),
+                              "ev_b": np.zeros(0, np.int64)})
+        n = len(g)
+        if n < 2:
+            return empty
+        g = (g.sort_values(["user_id", "probe_band", "event_id"],
+                           kind="mergesort").reset_index(drop=True))
+        uid = g["user_id"].to_numpy()
+        band = g["probe_band"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        ob = g["orig_band"].to_numpy()
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = (uid[1:] != uid[:-1]) | (band[1:] != band[:-1])
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.append(seg_starts[1:], n)
+        ends_per_row = seg_ends[np.cumsum(new_seg) - 1]
+        counts = ends_per_row - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        ia = np.repeat(np.arange(n), counts)
+        run_start = np.cumsum(counts) - counts
+        ib = np.arange(total) - np.repeat(run_start, counts) + ia + 1
+        keep = ((np.abs(ts[ia] - ts[ib]) <= RANGE_US)
+                & (np.maximum(ob[ia], ob[ib]) == band[ia]))
+        return pd.DataFrame({"user_id": uid[ia][keep].astype("int64"),
+                             "ev_a": ids[ia][keep].astype("int64"),
+                             "ev_b": ids[ib][keep].astype("int64")})
 
     return buckets.groupby("grp").map_groups(bucket_pairs,
                                              batch_format="pandas")

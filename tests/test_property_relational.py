@@ -103,6 +103,45 @@ def test_sessionize_matches_duckdb_on_random_frames(ray_session,
                                   check_dtype=False)
 
 
+# timestamps on a grid straddling 5-min band boundaries (exact
+# multiples of RANGE_US and +/-1 us) — the adversarial cases for the
+# banded range join's count-each-pair-once rule
+_BAND = 5 * 60 * 1_000_000
+_ts_grid = sorted({k * _BAND + d for k in range(4) for d in (-1, 0, 1)}
+                  | {37, _BAND // 2, 2 * _BAND + 12345})
+pairs_events_strategy = st.builds(
+    _events_frame,
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1,
+             max_size=40),
+    st.lists(st.sampled_from([t for t in _ts_grid if t >= 0]),
+             min_size=1, max_size=40),
+).filter(lambda df: len(df) >= 1)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=pairs_events_strategy)
+def test_event_pairs_range_matches_duckdb_on_random_frames(
+        ray_session, tmp_path_factory, df):
+    import pyarrow as pa
+    import ray
+    from pgstosrt_ray.pipelines.relational import (SQL_EVENT_PAIRS_RANGE,
+                                                   q_event_pairs_range)
+    tmpdir = str(tmp_path_factory.mktemp("ev"))
+    df.to_parquet(f"{tmpdir}/events.parquet")
+    res = q_event_pairs_range(tmpdir)
+    tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    ours = (pa.concat_tables(tabs).to_pandas() if tabs
+            else pd.DataFrame({"user_id": [], "ev_a": [], "ev_b": []}))
+    ours = ours.sort_values(["user_id", "ev_a", "ev_b"],
+                            ignore_index=True).astype("int64")
+    con = duckdb.connect()
+    con.register("events", df)
+    theirs = con.sql(SQL_EVENT_PAIRS_RANGE).to_df().sort_values(
+        ["user_id", "ev_a", "ev_b"], ignore_index=True).astype("int64")
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
+
+
 orders_strategy = st.builds(
     lambda custs, prices: pd.DataFrame({
         "o_orderkey": np.arange(min(len(custs), len(prices)),
