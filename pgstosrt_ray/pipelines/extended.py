@@ -649,6 +649,189 @@ FROM (SELECT doc_id,
 """
 
 
+# --- per-doc repetition signals (Gopher-style quality filters) -----------
+def q_repetition_scores(sf_dir: str):
+    """Per-document repetition statistics for quality filtering:
+    ``top_token_frac`` (share of tokens taken by the most frequent
+    token) and ``ttr`` (type-token ratio, distinct/total). Map-only —
+    every batch is independent, no shuffle; the split/explode/groupby
+    chain is C-level pandas, no Python loop over rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scores(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        cnt = toks.groupby([toks.index, toks]).size()
+        per_doc = cnt.groupby(level=0)
+        mx, nuniq, tot = per_doc.max(), per_doc.size(), per_doc.sum()
+        return pd.DataFrame({
+            "doc_id": mx.index.to_numpy(),
+            "top_token_frac": mx.to_numpy() / tot.to_numpy(),
+            "ttr": nuniq.to_numpy() / tot.to_numpy()})
+
+    return ds.map_batches(scores, batch_format="pandas")
+
+
+SQL_REPETITION_SCORES = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac,
+       CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr
+FROM counts GROUP BY doc_id
+"""
+
+
+# --- benchmark decontamination (n-gram overlap flagging) -----------------
+# the "benchmark" is the deterministic doc_id % 97 == 0 subset; a
+# training doc is contaminated when it shares ANY word-8-gram with it
+CONTAM_N = 8
+BENCH_MOD = 97
+
+
+def _word_ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """(doc_id, g) rows of every word n-gram, deduplicated per doc.
+    Shift-concat over the exploded token stream — the per-row string
+    joins run in pandas' C loop, not Python."""
+    toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+    ids, tk = toks.index.to_numpy(), toks.to_numpy()
+    m = len(tk) - n + 1
+    if m <= 0:
+        return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                             "g": np.zeros(0, object)})
+    # a gram is valid only when its last token is still in the same doc
+    valid = ids[:m] == ids[n - 1:]
+    g = pd.Series(tk[:m])
+    for k in range(1, n):
+        g = g + " " + pd.Series(tk[k:k + m])
+    return (pd.DataFrame({"doc_id": ids[:m][valid],
+                          "g": g.to_numpy()[valid]})
+            .drop_duplicates(ignore_index=True))
+
+
+def q_decontaminate(sf_dir: str, n: int = CONTAM_N):
+    """Flag training documents sharing any word-``n``-gram with the
+    benchmark subset — the eval-set decontamination pass of a training
+    pipeline. Scale shape: the benchmark side (~1% of docs) folds its
+    gram hashes into a bloom that broadcasts once; the big probe side
+    drops non-matching grams BEFORE the shuffle, then an exact
+    string-keyed semi join removes bloom false positives, and flagged
+    doc ids reduce through a bucketed distinct. Only candidate grams
+    cross the wire; texts never enter a shuffle. (At real scale the
+    bloom is sized to the benchmark's gram cardinality.)"""
+    import ray
+    from .reduce import agg_fold_blobs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    is_bench = f"doc_id % {BENCH_MOD} == 0"
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        return _word_ngrams(df[df["doc_id"] % BENCH_MOD == 0], n)
+
+    def probe_grams(df: pd.DataFrame) -> pd.DataFrame:
+        return _word_ngrams(df[df["doc_id"] % BENCH_MOD != 0], n)
+
+    bgrams = ds.map_batches(bench_grams, batch_format="pandas")
+
+    def partial_bloom(df: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_array(df["g"].to_numpy())
+        return pa.table({"bloom": pa.array([_bloom_of(h).tobytes()],
+                                           pa.binary())})
+
+    def or_merge(blobs) -> bytes:
+        out = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        for b in blobs:
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return out.tobytes()
+
+    blob = agg_fold_blobs(
+        bgrams.map_batches(partial_bloom, batch_format="pandas"),
+        "bloom", or_merge)
+    filt_ref = ray.put(np.frombuffer(blob, dtype=np.uint8))
+
+    def prefilter(df: pd.DataFrame) -> pa.Table:
+        f = ray.get(filt_ref)
+        keep = _bloom_test(f, pd.util.hash_array(df["g"].to_numpy()))
+        # typed arrow out: when the filter drops EVERYTHING (zero
+        # contamination) the materialized empty block still declares
+        # (doc_id, g) so the downstream join resolves its key fields
+        return pa.table({"doc_id": pa.array(df["doc_id"][keep],
+                                            pa.int64()),
+                         "g": pa.array(df["g"][keep], pa.string())})
+
+    # the prefilter empties most blocks => scrub before the join
+    # (Ray 2.49 schemaless-empty-block gotcha, reduce.materialize_nonempty)
+    cand = materialize_nonempty(
+        ds.map_batches(probe_grams, batch_format="pandas")
+        .map_batches(prefilter, batch_format="pandas"))
+    def nonbench_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % BENCH_MOD != 0, pa.bool_()))
+
+    # ids-only => cheap to materialize; scrubbing matters because the
+    # bench filter can empty whole blocks (schemaless-empty join gotcha)
+    probe_ids = materialize_nonempty(
+        ds.select_columns(["doc_id"]).map_batches(
+            nonbench_ids, batch_format="pyarrow"))
+
+    def all_clean(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "contaminated": pa.array(
+                             np.zeros(t.num_rows, bool))})
+
+    # a fully-empty join input breaks Ray 2.49's hash-shuffle join even
+    # with a typed empty block (every partition's shard arrives
+    # schemaless), so short-circuit like dedupe's zero-candidate path;
+    # cand is materialized, count() is metadata-free
+    if cand.count() == 0:
+        return probe_ids.map_batches(all_clean, batch_format="pyarrow")
+    # semi join tolerates duplicate right keys (existence test), so the
+    # bench side skips a global-distinct shuffle: per-doc dedup already
+    # happened in _word_ngrams, and the join's hash build absorbs the
+    # remaining cross-doc duplicates
+    bench_keys = materialize_nonempty(
+        bgrams.map_batches(
+            lambda df: pa.table({"g": pa.array(df["g"], pa.string())}),
+            batch_format="pandas"))
+    hits = materialize_nonempty(
+        cand.join(bench_keys, "left_semi", join_partitions(), on=("g",)))
+    if hits.count() == 0:
+        return probe_ids.map_batches(all_clean, batch_format="pyarrow")
+    flagged = materialize_nonempty(
+        bucketed_group_agg(hits.select_columns(["doc_id"]), ["doc_id"],
+                           lambda g: g.drop_duplicates("doc_id"))
+        .map_batches(
+            lambda df: pa.table({
+                "hit_id": pa.array(df["doc_id"], pa.int64()),
+                "hit": pa.array(np.ones(len(df), np.int8))}),
+            batch_format="pandas"))
+    # Ray's outer join folds the right key into the left key column, so
+    # matches are detected via the non-key `hit` indicator column
+    j = probe_ids.join(flagged, "left_outer", join_partitions(),
+                       on=("doc_id",), right_on=("hit_id",))
+    return j.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "contaminated": pc.is_valid(t.column("hit"))}),
+        batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+{CONTAM_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ws) - {CONTAM_N - 2})) AS t(i)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+flags AS (
+  SELECT DISTINCT g2.doc_id FROM grams g2 JOIN bench USING (g)
+  WHERE g2.doc_id % {BENCH_MOD} <> 0)
+SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN flags f USING (doc_id)
+WHERE d.doc_id % {BENCH_MOD} <> 0
+"""
+
+
 QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "prep_corpus": q_prep_corpus,
@@ -666,6 +849,10 @@ QUERIES = {
     "value_stats": q_value_stats,
     "value_histogram": q_value_histogram,
     "events_per_day": q_events_per_day,
+    # round-4 additions: keep LAST so a count-capped driver run keeps
+    # its existing coverage (__ray_entry__ registration order note)
+    "repetition_scores": q_repetition_scores,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -683,5 +870,7 @@ ORACLE_SQL = {
     "value_stats": SQL_VALUE_STATS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "events_per_day": SQL_EVENTS_PER_DAY,
+    "repetition_scores": SQL_REPETITION_SCORES,
+    "decontaminate": SQL_DECONTAMINATE,
     # approx_quantiles: golden oracle wired in __ray_entry__.py
 }

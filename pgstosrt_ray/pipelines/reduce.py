@@ -291,7 +291,7 @@ def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None,
             .groupby("_b").map_groups(per_bucket, batch_format="pandas"))
 
 
-def materialize_nonempty(ds):
+def materialize_nonempty(ds, fallback_schema: pa.Schema | None = None):
     """materialize() + drop schemaless empty blocks.
 
     Ray 2.49's hash-shuffle operators (join, groupby aggregate) emit
@@ -311,6 +311,10 @@ def materialize_nonempty(ds):
         # one typed empty block from the declared schema instead (a
         # fully-empty join input then still resolves its key fields)
         empty = _empty_arrow_like(mat, [])
+        if not empty.num_columns and fallback_schema is not None:
+            # schema unrecoverable from the (pandas-block) plan —
+            # callers that know their output shape declare it
+            empty = fallback_schema.empty_table()
         if empty.num_columns:
             return ray.data.from_arrow(empty)
         return mat

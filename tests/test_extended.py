@@ -114,3 +114,54 @@ def test_prep_corpus_single_shuffle(ray_session, con):
     pd.testing.assert_frame_equal(a[sorted(a.columns)],
                                   b[sorted(b.columns)], check_dtype=False)
     assert set(a["split"]) <= {"train", "val", "test"}
+
+
+def test_word_ngrams_doc_boundaries():
+    """Grams never span documents; docs shorter than n yield none;
+    per-doc duplicates collapse."""
+    import numpy as np
+    from pgstosrt_ray.pipelines.extended import _word_ngrams
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype="int64"),
+        "text": ["a b c d", "x y", "a b a b a b"]})
+    out = _word_ngrams(df, 3)
+    got = set(zip(out["doc_id"], out["g"]))
+    assert got == {(1, "a b c"), (1, "b c d"),
+                   (3, "a b a"), (3, "b a b")}
+    # strictly shorter than n everywhere -> typed empty frame
+    empty = _word_ngrams(pd.DataFrame({"doc_id": np.array([7]),
+                                       "text": ["lone"]}), 3)
+    assert len(empty) == 0 and list(empty.columns) == ["doc_id", "g"]
+
+
+def test_decontaminate_zero_hit_short_circuit(ray_session,
+                                              tmp_path_factory):
+    """No shared n-grams at all: every probe doc comes back clean (the
+    empty-candidate join short-circuit path)."""
+    import numpy as np
+    tmpdir = str(tmp_path_factory.mktemp("docs"))
+    texts = [" ".join(f"w{d}t{i}" for i in range(12)) for d in range(6)]
+    pd.DataFrame({"doc_id": np.arange(0, 6 * 97, 97, dtype="int64")
+                  + np.array([0, 1, 2, 3, 4, 5]),
+                  "text": texts}).to_parquet(f"{tmpdir}/documents.parquet")
+    out = _to_df(extended.q_decontaminate(tmpdir)).sort_values(
+        "doc_id", ignore_index=True)
+    assert (~out["contaminated"]).all()
+    assert (out["doc_id"] % 97 != 0).all()
+
+
+def test_decontaminate_flags_planted_overlap(ray_session,
+                                             tmp_path_factory):
+    """A probe doc embedding a benchmark 8-gram is flagged; unrelated
+    docs are not."""
+    import numpy as np
+    tmpdir = str(tmp_path_factory.mktemp("docs"))
+    bench = " ".join(f"b{i}" for i in range(10))
+    dirty = "pad1 pad2 " + " ".join(f"b{i}" for i in range(8)) + " tail"
+    clean = " ".join(f"c{i}" for i in range(12))
+    pd.DataFrame({"doc_id": np.array([0, 1, 2], dtype="int64"),
+                  "text": [bench, dirty, clean]}).to_parquet(
+        f"{tmpdir}/documents.parquet")
+    out = _to_df(extended.q_decontaminate(tmpdir)).set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
