@@ -85,6 +85,10 @@ def _warm_hasher(num_perm: int = NUM_PERM) -> MinHasher:
 
 def _minhash_sig_batch(batch: pa.Table) -> pa.Table:
     hasher = _warm_hasher()
+    # per-doc numpy is already the fast form here: a measured
+    # batch-concatenated minimum.reduceat variant ran 5x SLOWER
+    # (poor striding across the wide axis); this loop is 0.33 s per
+    # 5k docs, dwarfed by read+arrow overhead
     sigs = [hasher.signature(char_shingle_hashes(t))
             .astype(np.int64).tobytes()
             for t in batch.column("text").to_pylist()]
@@ -180,9 +184,25 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
     return estimate_pairs(cand, sigs, threshold)
 
 
+# pair count below which signature re-attach broadcasts instead of
+# shuffling: bounds the collected sig subset to ~2x this x 1 KB
+BROADCAST_PAIRS_LIMIT = 8192
+
+
 def estimate_pairs(cand, sigs, threshold: float):
     """Candidate id pairs + materialized signature table -> verified
-    (doc_a, doc_b, est_jaccard >= threshold) via two hash joins."""
+    (doc_a, doc_b, est_jaccard >= threshold).
+
+    Two re-attach strategies by candidate volume (cand is materialized,
+    so count() is metadata-free): below BROADCAST_PAIRS_LIMIT the
+    referenced signatures are collected once, broadcast via ray.put,
+    and attached inside map_batches — zero shuffle joins (each Ray 2.49
+    hash join costs ~2 s of aggregator-pool spin-up, which dominated
+    this pipeline at bench scale). Above the limit, the two partitioned
+    hash joins — nothing corpus-sized ever reaches the driver."""
+    n_pairs = cand.count()
+    if n_pairs <= BROADCAST_PAIRS_LIMIT:
+        return _estimate_pairs_broadcast(cand, sigs, threshold, n_pairs)
     with_a = cand.join(sigs, "inner", join_partitions(),
                        on=("doc_a",), right_on=("doc_id",))
     with_a = _materialize_nonempty(with_a.map_batches(
@@ -206,6 +226,52 @@ def estimate_pairs(cand, sigs, threshold: float):
         })
 
     return with_b.map_batches(estimate, batch_format="pyarrow")
+
+
+def _estimate_pairs_broadcast(cand, sigs, threshold: float, n_pairs: int):
+    """Broadcast-join re-attach for small candidate sets: collect only
+    the signatures of docs referenced by a pair (<= 2 * n_pairs rows),
+    ship them once via ray.put, and verify each pair batch with one
+    searchsorted gather + row-wise equality."""
+    import ray
+    import ray.data
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("est_jaccard", pa.float64())])
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    pair_tab = pa.concat_tables(
+        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows])
+    needed = np.unique(np.concatenate(
+        [pair_tab.column("doc_a").to_numpy(),
+         pair_tab.column("doc_b").to_numpy()]))
+    needed_ref = ray.put(needed)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = np.isin(t.column("doc_id").to_numpy(), ray.get(needed_ref))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    sub = pa.concat_tables(
+        [t for t in ray.get(sigs.map_batches(
+            pick, batch_format="pyarrow").to_arrow_refs()) if t.num_rows])
+    order = np.argsort(sub.column("doc_id").to_numpy())
+    ids_sorted = sub.column("doc_id").to_numpy()[order]
+    sig_list = sub.column("sig").to_pylist()
+    mat = _sig_matrix([sig_list[i] for i in order])
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids_sorted)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m, ids = ray.get(mat_ref), ray.get(ids_ref)
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        est = (m[np.searchsorted(ids, a)]
+               == m[np.searchsorted(ids, b)]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(b[keep], pa.int64()),
+                         "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    return cand.map_batches(attach, batch_format="pyarrow")
 
 
 def _edges_of(pair_ds):
