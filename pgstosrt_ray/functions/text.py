@@ -65,6 +65,29 @@ def split_of_ids(ids) -> np.ndarray:
                     np.where(b < 90, "val", "test")).astype(object)
 
 
+# PII masking patterns, shared verbatim with the DuckDB oracle
+# (pipelines/extended.SQL_REDACT_PII): the subset of regex syntax
+# where Python `re` and RE2 agree (no lookaround, no backrefs), so
+# both engines produce identical replacements. Order matters — emails
+# first, else the phone pattern eats digit runs inside addresses.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+_PII_COMPILED = [(re.compile(p), r) for p, r in PII_PATTERNS]
+
+
+def redact_pii(texts: pd.Series) -> pd.Series:
+    """Mask emails, IPv4 addresses and +international phone runs with
+    typed placeholder tokens. Vectorized ``str.replace`` over compiled
+    patterns (one C loop per pattern, no per-row Python)."""
+    out = texts
+    for pat, repl in _PII_COMPILED:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
 def sha1_u64(texts: pd.Series) -> np.ndarray:
     """First 8 bytes of SHA-1 as uint64 — stable content key for
     hash-partitioned dedup."""

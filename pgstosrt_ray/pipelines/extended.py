@@ -832,6 +832,162 @@ WHERE d.doc_id % {BENCH_MOD} <> 0
 """
 
 
+# --- PII redaction (map-only) ---------------------------------------------
+def q_redact_pii(sf_dir: str):
+    """Documents with emails / IPv4 / phone runs masked by typed
+    placeholders — the privacy-scrub stage of a training pipeline.
+    Map-only: every batch is independent, patterns compile once per
+    process (functions/text.PII_PATTERNS, shared verbatim with the SQL
+    oracle so both engines replace identically)."""
+    from ..functions.text import redact_pii
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "text": redact_pii(df["text"])})
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def _sql_redact_pii() -> str:
+    from ..functions.text import PII_PATTERNS
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        # DuckDB string literals are standard SQL: backslashes pass
+        # through verbatim, only quotes need doubling
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+SQL_REDACT_PII = _sql_redact_pii()
+
+
+# --- exact global percentile rank without a global sort -------------------
+def q_percent_rank_chars(sf_dir: str):
+    """Exact ``PERCENT_RANK() OVER (ORDER BY n_chars)`` per document.
+
+    No global sort: the distinct-length domain is bounded by the
+    maximum document length, NOT by corpus size, so per-batch
+    (n_chars -> count) partials fold through ONE blob aggregate into a
+    single histogram; its cumulative below-counts broadcast once and
+    each batch ranks itself with a searchsorted gather. Two streaming
+    passes, zero shuffles — at 100 TB the broadcast is
+    O(distinct lengths), a few MB."""
+    import pickle
+
+    import ray
+
+    from .reduce import agg_fold_blobs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        vc = df["n_chars"].value_counts()
+        blob = pickle.dumps({int(k): int(v) for k, v in vc.items()})
+        return pa.table({"h": pa.array([blob], pa.binary())})
+
+    def merge(blobs) -> bytes:
+        out: dict[int, int] = {}
+        for b in blobs:
+            for k, v in pickle.loads(b).items():
+                out[k] = out.get(k, 0) + v
+        return pickle.dumps(out)
+
+    hist = pickle.loads(agg_fold_blobs(
+        ds.map_batches(partial, batch_format="pandas"), "h", merge))
+    vals = np.array(sorted(hist), dtype=np.int64)
+    below = np.concatenate(
+        ([0], np.cumsum([hist[int(v)] for v in vals])[:-1]))
+    denom = max(int(sum(hist.values())) - 1, 1)  # single row => pr 0
+    ref = ray.put((vals, below))
+
+    def rank(t: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        x = t.column("n_chars").to_numpy()
+        # count(< x) / (N-1): both int64 -> the same IEEE double
+        # division DuckDB's PERCENT_RANK performs
+        pr = b[np.searchsorted(v, x)] / denom
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pr": pa.array(pr, pa.float64())})
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+SQL_PERCENT_RANK_CHARS = ("SELECT doc_id, PERCENT_RANK() OVER "
+                          "(ORDER BY n_chars) AS pr FROM documents")
+
+
+# --- most distinctive token per document (tf x rarity) ---------------------
+def q_tfidf_top_term(sf_dir: str):
+    """Per-document most distinctive token by tf x (N/df) — idf with a
+    log-free rarity weight so both engines compute the identical IEEE
+    double from the same integer inputs (ln() bit-parity across libm
+    builds is not guaranteed; N/df preserves the ranking for a fixed
+    corpus). Ties break to the lexicographically smallest token.
+
+    Scale shape: per-doc term counts are map-only; document frequency
+    reduces through a salted-bucket distinct over the token domain
+    (vocabulary-cardinality, never a raw-key groupby); the score join
+    shuffles constant-width (doc_id, tok, c, tot) rows; the per-doc
+    argmax reduces through the same bucketed pattern keyed on doc_id."""
+    n_docs = parquet_rows(f"{sf_dir}/documents.parquet")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        cnt = (toks.groupby([toks.index, toks]).size()
+               .rename("c").reset_index())
+        cnt.columns = ["doc_id", "tok", "c"]
+        tot = cnt.groupby("doc_id")["c"].transform("sum")
+        return cnt.assign(tot=tot)
+
+    counts = materialize_nonempty(
+        ds.map_batches(term_counts, batch_format="pandas"))
+
+    # df per token: docs are intact within a batch and counts are
+    # already distinct per (doc, tok), so df == row count per tok
+    dfreq = materialize_nonempty(bucketed_group_agg(
+        counts.select_columns(["tok"]), ["tok"],
+        lambda g: g.groupby("tok", as_index=False).agg(df=("tok", "count")),
+        est_bytes=input_bytes(f"{sf_dir}/documents.parquet")))
+
+    j = counts.join(dfreq, "inner", join_partitions(), on=("tok",))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["c"].to_numpy() * n_docs) / (df["tot"].to_numpy()
+                                             * df["df"].to_numpy())
+        return pd.DataFrame({"doc_id": df["doc_id"], "tok": df["tok"],
+                             "score": s})
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["doc_id", "score", "tok"],
+                              ascending=[True, False, True])
+                .drop_duplicates("doc_id", ignore_index=True))
+
+    return bucketed_group_agg(
+        j.map_batches(score, batch_format="pandas"), ["doc_id"], top1,
+        est_bytes=input_bytes(f"{sf_dir}/documents.parquet"))
+
+
+SQL_TFIDF_TOP_TERM = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, SUM(c) AS tot FROM counts GROUP BY doc_id),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM counts GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT c.doc_id, c.tok,
+         CAST(c.c * n.n AS DOUBLE) / (t.tot * d.df) AS score
+  FROM counts c
+  JOIN tot t USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok ASC) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "prep_corpus": q_prep_corpus,
@@ -853,6 +1009,9 @@ QUERIES = {
     # its existing coverage (__ray_entry__ registration order note)
     "repetition_scores": q_repetition_scores,
     "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
+    "percent_rank_chars": q_percent_rank_chars,
+    "tfidf_top_term": q_tfidf_top_term,
 }
 
 ORACLE_SQL = {
@@ -872,5 +1031,8 @@ ORACLE_SQL = {
     "events_per_day": SQL_EVENTS_PER_DAY,
     "repetition_scores": SQL_REPETITION_SCORES,
     "decontaminate": SQL_DECONTAMINATE,
+    "redact_pii": SQL_REDACT_PII,
+    "percent_rank_chars": SQL_PERCENT_RANK_CHARS,
+    "tfidf_top_term": SQL_TFIDF_TOP_TERM,
     # approx_quantiles: golden oracle wired in __ray_entry__.py
 }

@@ -165,3 +165,73 @@ def test_decontaminate_flags_planted_overlap(ray_session,
     out = _to_df(extended.q_decontaminate(tmpdir)).set_index("doc_id")
     assert bool(out.loc[1, "contaminated"])
     assert not bool(out.loc[2, "contaminated"])
+
+
+def test_redact_pii_planted_matches_duckdb():
+    """The kernel masks planted PII the same way DuckDB's RE2 applies
+    the shared patterns (the cross-engine contract the corpus data
+    never exercises), and leaves clean text untouched."""
+    from pgstosrt_ray.functions.text import redact_pii
+    from pgstosrt_ray.pipelines.extended import SQL_REDACT_PII
+    texts = pd.Series([
+        "contact bob.smith+spam@mail.example.co for details",
+        "server at 10.0.255.7 answered, backup 192.168.1.1.",
+        "call +1 555-867 5309 now",
+        "mixed: a@b.io then 8.8.8.8 then +49 30-1234567 end",
+        "clean text with no identifiers at all",
+        "not an ip 1234.5.6.7890 stays",  # \b guards the octets
+    ])
+    got = redact_pii(texts)
+    assert got[0] == "contact <EMAIL> for details"
+    assert got[1] == "server at <IP> answered, backup <IP>."
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "mixed: <EMAIL> then <IP> then <PHONE> end"
+    assert got[4] == texts[4]
+    expr = SQL_REDACT_PII.split("SELECT doc_id, ")[1].split(" AS text")[0]
+    want = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT unnest(?) AS text)",
+        [texts.tolist()]).df().iloc[:, 0]
+    assert got.tolist() == want.tolist()
+
+
+def test_percent_rank_ties_and_extremes(ray_session, tmp_path_factory):
+    """Tied lengths share the rank of their first member; the minimum
+    is exactly 0 and the unique maximum exactly 1 (PERCENT_RANK
+    semantics), matching DuckDB on a planted frame."""
+    import numpy as np
+    tmpdir = str(tmp_path_factory.mktemp("docs"))
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "n_chars": np.array([5, 5, 9, 9, 9, 20], dtype="int64")})
+    df.to_parquet(f"{tmpdir}/documents.parquet")
+    out = _to_df(extended.q_percent_rank_chars(tmpdir)).set_index(
+        "doc_id")["pr"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmpdir}/documents.parquet'")
+    want = con.sql(extended.ORACLE_SQL["percent_rank_chars"]).to_df(
+        ).set_index("doc_id")["pr"]
+    assert out.sort_index().tolist() == want.sort_index().tolist()
+    assert out[0] == 0.0 and out[1] == 0.0 and out[5] == 1.0
+
+
+def test_tfidf_tie_breaks_to_smallest_token(ray_session,
+                                            tmp_path_factory):
+    """Two tokens with identical tf and df resolve to the
+    lexicographically smallest, identically on both engines."""
+    import numpy as np
+    tmpdir = str(tmp_path_factory.mktemp("docs"))
+    # doc 0: zz and aa both appear once with df=1 -> tie -> aa wins
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype="int64"),
+        "text": ["zz shared aa", "shared shared only"]})
+    df.to_parquet(f"{tmpdir}/documents.parquet")
+    out = _to_df(extended.q_tfidf_top_term(tmpdir)).set_index("doc_id")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmpdir}/documents.parquet'")
+    want = con.sql(extended.ORACLE_SQL["tfidf_top_term"]).to_df(
+        ).set_index("doc_id")
+    assert out.loc[0, "tok"] == "aa"
+    pd.testing.assert_frame_equal(out.sort_index(), want.sort_index(),
+                                  check_dtype=False)
