@@ -274,6 +274,38 @@ def _estimate_pairs_broadcast(cand, sigs, threshold: float, n_pairs: int):
     return cand.map_batches(attach, batch_format="pyarrow")
 
 
+def _propagate_broadcast(edges, ids):
+    """Driver-side union-find for provably small edge sets: collects
+    the (node, nbr) rows once, reuses functions/dedup.
+    union_find_clusters (min-label semantics identical to the
+    propagation loop), and broadcasts the node -> label mapping so the
+    corpus-sized ids side attaches labels with a searchsorted gather."""
+    import ray
+
+    from ..functions.dedup import union_find_clusters
+
+    tab = pa.concat_tables(
+        [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows])
+    a = tab.column("node").to_numpy()
+    b = tab.column("nbr").to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = union_find_clusters(
+        list(zip(a.tolist(), b.tolist())), nodes.tolist())
+    vals = np.array([labels[int(k)] for k in nodes], dtype=np.int64)
+    ref = ray.put((nodes, vals))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, lbl = ray.get(ref)
+        x = t.column("doc_id").to_numpy()
+        idx = np.minimum(np.searchsorted(keys, x), len(keys) - 1)
+        hit = keys[idx] == x
+        out = np.where(hit, lbl[idx], x)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "cluster_id": pa.array(out, pa.int64())})
+
+    return ids.map_batches(attach, batch_format="pyarrow")
+
+
 def _edges_of(pair_ds):
     def both(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy()
@@ -301,13 +333,22 @@ def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.5,
 
 def label_propagation(edges, ids, max_rounds: int = 25):
     """Distributed connected components over a materialized (node,
-    nbr) edge dataset: (doc_id, cluster_id=min id in component)."""
+    nbr) edge dataset: (doc_id, cluster_id=min id in component).
+
+    Below 2 x BROADCAST_PAIRS_LIMIT edges the component labels come
+    from the unit-tested driver-side union-find instead (the edge set
+    is provably small — same volume gate as estimate_pairs) and
+    broadcast to the corpus-sized ids side: no propagation rounds, no
+    joins. The iterative min-label propagation remains the scale path."""
     import pyarrow.compute as pc
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ids.map_batches(
             lambda t: pa.table({"doc_id": t.column("doc_id"),
                                 "cluster_id": t.column("doc_id")}),
             batch_format="pyarrow")
+    if n_edges <= 2 * BROADCAST_PAIRS_LIMIT:
+        return _propagate_broadcast(edges, ids)
 
     def seed_labels(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -446,19 +487,32 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
         ["hamming"].min())
 
 
+def _grams_of(t: pa.Table) -> pa.Table:
+    blobs = [word_ngram_hashes(txt, n=3).astype(np.int64).tobytes()
+             for txt in t.column("text").to_pylist()]
+    return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                     "grams": pa.array(blobs, pa.binary())})
+
+
 def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     """Exact word-3-gram Jaccard verification of the MinHash candidate
-    pairs. Fully distributed: candidate docs are selected by a SEMI
-    JOIN against the pair-id list (nothing reaches the driver, either
-    side can be corpus-sized); their texts turn into n-gram hash sets
-    inside ``map_batches``; gram sets attach to pairs via two hash
-    joins; the per-pair Jaccard runs inside ``map_batches``."""
+    pairs. Fully distributed above BROADCAST_PAIRS_LIMIT: candidate
+    docs are selected by a SEMI JOIN against the pair-id list (nothing
+    reaches the driver, either side can be corpus-sized); their texts
+    turn into n-gram hash sets inside ``map_batches``; gram sets attach
+    to pairs via two hash joins; the per-pair Jaccard runs inside
+    ``map_batches``. Below the limit the gram blobs of the referenced
+    docs broadcast once instead (same rationale as estimate_pairs:
+    three ~2 s hash-join spin-ups for <= 8192 pairs)."""
     cand = minhash_candidate_pairs(sf_dir, threshold=0.2)
     cand = _materialize_nonempty(cand.select_columns(["doc_a", "doc_b"]))
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard3": pa.array([], pa.float64())})
+    if n_pairs <= BROADCAST_PAIRS_LIMIT:
+        return _ngram_verify_broadcast(sf_dir, cand, threshold)
     ids = cand.map_batches(
         lambda t: pa.table({"need_id": pa.concat_arrays(
             [t.column("doc_a").combine_chunks(),
@@ -468,14 +522,8 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
         ids, "left_semi", join_partitions(),
         on=("doc_id",), right_on=("need_id",))
 
-    def grams_of(t: pa.Table) -> pa.Table:
-        blobs = [word_ngram_hashes(txt, n=3).astype(np.int64).tobytes()
-                 for txt in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
-                         "grams": pa.array(blobs, pa.binary())})
-
     grams = _materialize_nonempty(need_docs.map_batches(
-        grams_of, batch_format="pyarrow"))
+        _grams_of, batch_format="pyarrow"))
     j1 = cand.join(grams, "inner", join_partitions(),
                    on=("doc_a",), right_on=("doc_id",))
     # one join per streaming execution (see minhash_candidate_pairs)
@@ -487,45 +535,93 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     j2 = j1.join(grams, "inner", join_partitions(),
                  on=("doc_b",), right_on=("doc_id",))
 
-    def verify(t: pa.Table) -> pa.Table:
-        # vectorized per-pair exact Jaccard: gram blobs are SORTED
-        # UNIQUE uint64 sets (word_ngram_hashes), so intersection
-        # sizes fall out of one lexsort over (pair, hash) of both
-        # sides concatenated — equal adjacent rows are cross-side
-        # matches (each side is unique within a pair). No per-pair
-        # Python set ops (round-3 verdict finding #3).
-        n = t.num_rows
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64()),
-                          "jaccard3": pa.array([], pa.float64())})
-        if n == 0:
-            return empty
-        ga = [np.frombuffer(x, dtype=np.uint64)
-              for x in t.column("grams_a").to_pylist()]
-        gb = [np.frombuffer(x, dtype=np.uint64)
-              for x in t.column("grams").to_pylist()]
-        la = np.fromiter((x.size for x in ga), dtype=np.int64, count=n)
-        lb = np.fromiter((x.size for x in gb), dtype=np.int64, count=n)
-        pid = np.concatenate([np.repeat(np.arange(n), la),
-                              np.repeat(np.arange(n), lb)])
-        h = (np.concatenate(ga + gb) if pid.size
-             else np.zeros(0, dtype=np.uint64))
-        order = np.lexsort((h, pid))
-        p, hs = pid[order], h[order]
-        dup = (p[1:] == p[:-1]) & (hs[1:] == hs[:-1])
-        inter = np.bincount(p[1:][dup], minlength=n)
-        union = la + lb - inter
-        # both-empty gram sets => Jaccard 1.0 (functions/dedup.jaccard)
-        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        keep = j >= threshold
-        return pa.table({
-            "doc_a": pa.array(t.column("doc_a").to_numpy()[keep],
-                              pa.int64()),
-            "doc_b": pa.array(t.column("doc_b").to_numpy()[keep],
-                              pa.int64()),
-            "jaccard3": pa.array(j[keep], pa.float64())})
+    return j2.map_batches(lambda t: _pair_jaccard(t, threshold),
+                          batch_format="pyarrow")
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+
+def _pair_jaccard(t: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized per-pair exact Jaccard over (doc_a, doc_b, grams_a,
+    grams) rows: gram blobs are SORTED UNIQUE uint64 sets
+    (word_ngram_hashes), so intersection sizes fall out of one lexsort
+    over (pair, hash) of both sides concatenated — equal adjacent rows
+    are cross-side matches (each side is unique within a pair). No
+    per-pair Python set ops (round-3 verdict finding #3)."""
+    n = t.num_rows
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard3": pa.array([], pa.float64())})
+    if n == 0:
+        return empty
+    ga = [np.frombuffer(x, dtype=np.uint64)
+          for x in t.column("grams_a").to_pylist()]
+    gb = [np.frombuffer(x, dtype=np.uint64)
+          for x in t.column("grams").to_pylist()]
+    la = np.fromiter((x.size for x in ga), dtype=np.int64, count=n)
+    lb = np.fromiter((x.size for x in gb), dtype=np.int64, count=n)
+    pid = np.concatenate([np.repeat(np.arange(n), la),
+                          np.repeat(np.arange(n), lb)])
+    h = (np.concatenate(ga + gb) if pid.size
+         else np.zeros(0, dtype=np.uint64))
+    order = np.lexsort((h, pid))
+    p, hs = pid[order], h[order]
+    dup = (p[1:] == p[:-1]) & (hs[1:] == hs[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = la + lb - inter
+    # both-empty gram sets => Jaccard 1.0 (functions/dedup.jaccard)
+    j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    keep = j >= threshold
+    return pa.table({
+        "doc_a": pa.array(t.column("doc_a").to_numpy()[keep],
+                          pa.int64()),
+        "doc_b": pa.array(t.column("doc_b").to_numpy()[keep],
+                          pa.int64()),
+        "jaccard3": pa.array(j[keep], pa.float64())})
+
+
+def _ngram_verify_broadcast(sf_dir: str, cand, threshold: float):
+    """Broadcast gram re-attach for small candidate sets: the gram
+    blobs of the <= 2 x BROADCAST_PAIRS_LIMIT referenced docs collect
+    once (tens of MB worst case at typical doc lengths), ship via
+    ``ray.put``, and each pair batch verifies with a searchsorted
+    gather into the shared blob list — zero joins."""
+    import ray
+
+    pair_tab = pa.concat_tables(
+        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows])
+    needed = np.unique(np.concatenate(
+        [pair_tab.column("doc_a").to_numpy(),
+         pair_tab.column("doc_b").to_numpy()]))
+    need_ref = ray.put(needed)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = np.isin(t.column("doc_id").to_numpy(), ray.get(need_ref))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    sub = pa.concat_tables(
+        [t for t in ray.get(
+            _read_docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+            .map_batches(_grams_of, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows])
+    order = np.argsort(sub.column("doc_id").to_numpy())
+    ids_sorted = sub.column("doc_id").to_numpy()[order]
+    blob_list = sub.column("grams").to_pylist()
+    blob_ref = ray.put((ids_sorted, [blob_list[i] for i in order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_s, blobs = ray.get(blob_ref)
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return _pair_jaccard(pa.table({
+            "doc_a": t.column("doc_a").cast(pa.int64()),
+            "doc_b": t.column("doc_b").cast(pa.int64()),
+            "grams_a": pa.array(
+                [blobs[i] for i in np.searchsorted(ids_s, a)],
+                pa.binary()),
+            "grams": pa.array(
+                [blobs[i] for i in np.searchsorted(ids_s, b)],
+                pa.binary())}), threshold)
+
+    return cand.map_batches(attach, batch_format="pyarrow")
 
 
 EMB_TABLES = 6

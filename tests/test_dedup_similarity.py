@@ -261,11 +261,15 @@ class TestPipelines:
         assert out.n_bytes.gt(0).all()
 
 
-def test_label_propagation_nonconvergence_raises(ray_session):
+def test_label_propagation_nonconvergence_raises(ray_session,
+                                                 monkeypatch):
     """max_rounds=0 with real edges must raise, never return partial
-    labels (ADVICE round 2)."""
+    labels (ADVICE round 2). Forces the distributed-propagation path —
+    the driver-side union-find below BROADCAST_PAIRS_LIMIT is exact by
+    construction and has no rounds to exhaust."""
     import pytest
     from pgstosrt_ray.pipelines import dedupe
+    monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
     with pytest.raises(RuntimeError, match="did not converge"):
         r = dedupe.minhash_dedup_clusters("/root/testdata/sf0.001",
                                           max_rounds=0)
@@ -350,3 +354,58 @@ def test_ivf_sample_unbiased_on_clustered_input(ray_session, tmp_path):
 
     assert recall_new >= 0.95          # measured 1.0 with these seeds
     assert recall_old <= 0.8           # measured 0.62: the bias is real
+
+
+def test_estimate_pairs_join_path_equals_broadcast(ray_session,
+                                                   monkeypatch):
+    """The two signature re-attach strategies (broadcast below
+    BROADCAST_PAIRS_LIMIT, partitioned hash joins above) produce the
+    SAME verified pairs — small corpora now take the broadcast path,
+    so the join path needs this forced-equivalence guard to stay
+    covered."""
+    from pgstosrt_ray.pipelines import dedupe
+
+    def pairs():
+        t = dedupe.minhash_candidate_pairs(SF_DIR).to_pandas()
+        return set(zip(t["doc_a"], t["doc_b"],
+                       t["est_jaccard"].round(12)))
+
+    via_broadcast = pairs()
+    monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    via_joins = pairs()
+    assert via_broadcast == via_joins
+    assert len(via_broadcast) > 0
+
+
+def test_ngram_verify_join_path_equals_broadcast(ray_session,
+                                                 monkeypatch):
+    """Forced-join ngram verification matches the broadcast gather."""
+    from pgstosrt_ray.pipelines import dedupe
+
+    def result():
+        t = dedupe.ngram_jaccard_verify(SF_DIR).to_pandas()
+        return set(zip(t["doc_a"], t["doc_b"], t["jaccard3"].round(12)))
+
+    via_broadcast = result()
+    monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    via_joins = result()
+    assert via_broadcast == via_joins
+    assert len(via_broadcast) > 0
+
+
+def test_label_propagation_equals_driver_union_find(ray_session,
+                                                    monkeypatch):
+    """The distributed min-label propagation rounds and the driver-side
+    union-find broadcast path assign identical cluster labels."""
+    from pgstosrt_ray.pipelines import dedupe
+
+    def clusters():
+        t = dedupe.minhash_dedup_clusters(SF_DIR).to_pandas()
+        return dict(zip(t["doc_id"], t["cluster_id"]))
+
+    via_union_find = clusters()
+    monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    via_propagation = clusters()
+    assert via_union_find == via_propagation
+    # at least one real (non-singleton) cluster in the fixture corpus
+    assert any(k != v for k, v in via_union_find.items())
