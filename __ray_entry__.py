@@ -156,6 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(dedupe.QUERIES)
     out.update(similarity.QUERIES)
     out.update(extended.QUERIES)
+    # round-4 additions re-insert at the TAIL regardless of module, so
+    # a count-capped driver run keeps earlier rounds' recorded coverage
+    for name in ("repetition_scores", "decontaminate", "redact_pii",
+                 "percent_rank_chars", "tfidf_top_term",
+                 "kmeans_clusters"):
+        out[name] = out.pop(name)
     return out
 
 
@@ -253,6 +259,7 @@ _GOLDEN_COLS = {
     "embedding_near_dup": "doc_a, doc_b, cosine",
     "ann_lsh": "vec_id, sim",
     "ann_ivf": "vec_id, sim",
+    "kmeans_clusters": "vec_id, cluster, sim",
     "rolling_fingerprint": "doc_id, rfp",
     "hll_distinct_users": "n_users_approx",
     "approx_quantiles": "q, est_cents",

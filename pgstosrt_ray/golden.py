@@ -36,8 +36,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v5"  # v5: frame_sha is hex text (DuckDB BLOB->bytearray
-#     breaks hash-based value compares); v4: IVF hash(vec_id) sample
+GOLDEN_VERSION = "v6"  # v6: + kmeans_clusters golden; v5: frame_sha is
+#     hex text (DuckDB BLOB->bytearray breaks hash-based value
+#     compares); v4: IVF hash(vec_id) sample
 U64 = np.uint64
 MASK64 = (1 << 64) - 1
 FNV_PRIME = 1099511628211
@@ -339,6 +340,37 @@ def golden_ann_ivf(sf_dir: str, k: int = 50, nprobe: int = 12,
     return _topk_rows(ids[mask], m[mask], qn, k)
 
 
+def golden_kmeans(sf_dir: str, k: int = 8, sample: int = 2048,
+                  iters: int = 10, seed: int = 11) -> pa.Table:
+    """Independent spherical k-means: same published spec as
+    similarity.kmeans_clusters (hash-uniform sample, seeded init,
+    Lloyd's with cosine assignment), fresh single-threaded code."""
+    ids, m = _embeddings(sf_dir)
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    order = np.lexsort((ids, h))[:sample]
+    samp = m[order].astype(np.float64).copy()
+    samp /= np.linalg.norm(samp, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.RandomState(seed)
+    cent = samp[rng.choice(len(samp), size=min(k, len(samp)),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(samp @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = samp[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    mn = m.astype(np.float64)
+    mn /= np.linalg.norm(mn, axis=1, keepdims=True).clip(min=1e-12)
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+        "sim": pa.array(sims[np.arange(len(cl)), cl], pa.float64())})
+
+
 # --------------------------------------------------- rolling fingerprint
 def golden_rolling_fingerprint(sf_dir: str, window: int = 16) -> pa.Table:
     ids, texts = _docs(sf_dir)
@@ -494,6 +526,7 @@ GOLDEN_BUILDERS = {
     "embedding_near_dup": (golden_embedding_near_dup, "sf"),
     "ann_lsh": (golden_ann_lsh, "sf"),
     "ann_ivf": (golden_ann_ivf, "sf"),
+    "kmeans_clusters": (golden_kmeans, "sf"),
     "rolling_fingerprint": (golden_rolling_fingerprint, "sf"),
     "hll_distinct_users": (golden_hll_distinct_users, "sf"),
     "approx_quantiles": (golden_approx_quantiles, "sf"),

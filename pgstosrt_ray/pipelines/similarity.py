@@ -349,6 +349,55 @@ def _hash_sample_pandas(ds, sample: int) -> pd.DataFrame:
     return top.drop(columns=["_h"])
 
 
+def _fit_spherical_kmeans(m: np.ndarray, k: int, iters: int,
+                          seed: int) -> np.ndarray:
+    """Lloyd's spherical k-means on an in-memory unit-norm sample:
+    seeded init, cosine assignment, re-normalized mean update. Row
+    order of ``m`` is part of the determinism contract (the golden
+    oracle reproduces the identical float sums)."""
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, sample: int = 2048,
+                    iters: int = 10, seed: int = 11):
+    """Spherical k-means clustering of the embedding table — the
+    semantic-curation primitive (cluster-balanced sampling,
+    per-cluster pruning, semantic dedup). Centroids fit on a
+    driver-side hash-uniform sample (the 100 TB-honest route: training
+    cost is O(sample x k x iters) regardless of corpus size), then ONE
+    distributed map assigns every vector its nearest centroid by
+    cosine. Output (vec_id, cluster, sim); value-checked against the
+    independent golden.golden_kmeans re-implementation."""
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    samp = _hash_sample_pandas(ds, sample)
+    m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+    cent = _fit_spherical_kmeans(m, k, iters, seed)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+        sims = x @ cent.T
+        cl = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"],
+            "cluster": cl.astype(np.int64),
+            "sim": sims[np.arange(len(cl)), cl]})
+
+    return ds.map_batches(tag, batch_format="pandas", batch_size=4096)
+
+
 def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
                     iters: int = 10, seed: int = 11):
     """IVF coarse index: k-means centroids fitted on a driver-side
@@ -367,15 +416,7 @@ def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
     samp = _hash_sample_pandas(ds, sample)
     m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-    rng = np.random.RandomState(seed)
-    cent = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
-    for _ in range(iters):  # spherical k-means on the sample
-        assign = np.argmax(m @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = m[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent = _fit_spherical_kmeans(m, n_cells, iters, seed)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -408,6 +449,7 @@ QUERIES = {
     "ann_brute_multi": brute_force_topk_multi,
     "ann_lsh": lsh_topk,
     "ann_ivf": ivf_topk,
+    "kmeans_clusters": kmeans_clusters,
 }
 
 
