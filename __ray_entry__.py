@@ -160,7 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a count-capped driver run keeps earlier rounds' recorded coverage
     for name in ("repetition_scores", "decontaminate", "redact_pii",
                  "percent_rank_chars", "tfidf_top_term",
-                 "kmeans_clusters"):
+                 "kmeans_clusters", "kmeans_balanced_sample"):
         out[name] = out.pop(name)
     return out
 
@@ -260,6 +260,7 @@ _GOLDEN_COLS = {
     "ann_lsh": "vec_id, sim",
     "ann_ivf": "vec_id, sim",
     "kmeans_clusters": "vec_id, cluster, sim",
+    "kmeans_balanced_sample": "vec_id, cluster, sim",
     "rolling_fingerprint": "doc_id, rfp",
     "hll_distinct_users": "n_users_approx",
     "approx_quantiles": "q, est_cents",

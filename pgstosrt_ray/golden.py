@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v6"  # v6: + kmeans_clusters golden; v5: frame_sha is
+GOLDEN_VERSION = "v7"  # v7: + kmeans_balanced_sample golden;
+#     v6: + kmeans_clusters golden; v5: frame_sha is
 #     hex text (DuckDB BLOB->bytearray breaks hash-based value
 #     compares); v4: IVF hash(vec_id) sample
 U64 = np.uint64
@@ -371,6 +372,23 @@ def golden_kmeans(sf_dir: str, k: int = 8, sample: int = 2048,
         "sim": pa.array(sims[np.arange(len(cl)), cl], pa.float64())})
 
 
+def golden_kmeans_sample(sf_dir: str, k: int = 8, cap: int = 32,
+                         sample: int = 2048, iters: int = 10,
+                         seed: int = 11) -> pa.Table:
+    """Cluster-balanced sample: the ``cap`` rows with smallest
+    md5(vec_id-as-decimal) per golden_kmeans cluster."""
+    df = golden_kmeans(sf_dir, k, sample, iters, seed).to_pandas()
+    df["_h"] = [hashlib.md5(b"%d" % int(i)).hexdigest()
+                for i in df["vec_id"]]
+    out = (df.sort_values(["cluster", "_h", "vec_id"])
+           .groupby("cluster").head(cap)
+           .drop(columns=["_h"]).reset_index(drop=True))
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "cluster": pa.array(out["cluster"], pa.int64()),
+        "sim": pa.array(out["sim"], pa.float64())})
+
+
 # --------------------------------------------------- rolling fingerprint
 def golden_rolling_fingerprint(sf_dir: str, window: int = 16) -> pa.Table:
     ids, texts = _docs(sf_dir)
@@ -527,6 +545,7 @@ GOLDEN_BUILDERS = {
     "ann_lsh": (golden_ann_lsh, "sf"),
     "ann_ivf": (golden_ann_ivf, "sf"),
     "kmeans_clusters": (golden_kmeans, "sf"),
+    "kmeans_balanced_sample": (golden_kmeans_sample, "sf"),
     "rolling_fingerprint": (golden_rolling_fingerprint, "sf"),
     "hll_distinct_users": (golden_hll_distinct_users, "sf"),
     "approx_quantiles": (golden_approx_quantiles, "sf"),

@@ -916,6 +916,11 @@ SQL_PERCENT_RANK_CHARS = ("SELECT doc_id, PERCENT_RANK() OVER "
                           "(ORDER BY n_chars) AS pr FROM documents")
 
 
+# tokens below which the (tok -> df) map broadcasts instead of joining
+# (~1M tokens x ~24 B = a few-MB ray.put object)
+BROADCAST_VOCAB_LIMIT = 1 << 20
+
+
 # --- most distinctive token per document (tf x rarity) ---------------------
 def q_tfidf_top_term(sf_dir: str):
     """Per-document most distinctive token by tf x (N/df) — idf with a
@@ -950,21 +955,45 @@ def q_tfidf_top_term(sf_dir: str):
         lambda g: g.groupby("tok", as_index=False).agg(df=("tok", "count")),
         est_bytes=input_bytes(f"{sf_dir}/documents.parquet")))
 
-    j = counts.join(dfreq, "inner", join_partitions(), on=("tok",))
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        s = (df["c"].to_numpy() * n_docs) / (df["tot"].to_numpy()
-                                             * df["df"].to_numpy())
-        return pd.DataFrame({"doc_id": df["doc_id"], "tok": df["tok"],
-                             "score": s})
-
     def top1(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["doc_id", "score", "tok"],
                               ascending=[True, False, True])
                 .drop_duplicates("doc_id", ignore_index=True))
 
+    # small vocabularies broadcast the (tok -> df) map instead of
+    # joining (same counted-volume gate pattern as dedupe's broadcast
+    # re-attach: one hash join costs ~2 s of aggregator spin-up at
+    # bench scale); dfreq is materialized so count() is metadata-free
+    if dfreq.count() <= BROADCAST_VOCAB_LIMIT:
+        import ray
+        vocab = pa.concat_tables(
+            [t for t in ray.get(dfreq.to_arrow_refs()) if t.num_rows])
+        toks = vocab.column("tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(toks)
+        ref = ray.put((toks[order],
+                       vocab.column("df").to_numpy()[order]))
+
+        def score_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            keys, dfv = ray.get(ref)
+            d = dfv[np.searchsorted(keys, df["tok"].to_numpy())]
+            s = (df["c"].to_numpy() * n_docs) / (df["tot"].to_numpy() * d)
+            return pd.DataFrame({"doc_id": df["doc_id"],
+                                 "tok": df["tok"], "score": s})
+
+        scored = counts.map_batches(score_bcast, batch_format="pandas")
+    else:
+        j = counts.join(dfreq, "inner", join_partitions(), on=("tok",))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            s = (df["c"].to_numpy() * n_docs) / (df["tot"].to_numpy()
+                                                 * df["df"].to_numpy())
+            return pd.DataFrame({"doc_id": df["doc_id"],
+                                 "tok": df["tok"], "score": s})
+
+        scored = j.map_batches(score, batch_format="pandas")
+
     return bucketed_group_agg(
-        j.map_batches(score, batch_format="pandas"), ["doc_id"], top1,
+        scored, ["doc_id"], top1,
         est_bytes=input_bytes(f"{sf_dir}/documents.parquet"))
 
 

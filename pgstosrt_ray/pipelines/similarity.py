@@ -398,6 +398,34 @@ def kmeans_clusters(sf_dir: str, k: int = 8, sample: int = 2048,
     return ds.map_batches(tag, batch_format="pandas", batch_size=4096)
 
 
+def kmeans_balanced_sample(sf_dir: str, k: int = 8, cap: int = 32,
+                           sample: int = 2048, iters: int = 10,
+                           seed: int = 11):
+    """Cluster-balanced sampling — the semantic-curation sampler:
+    the ``cap`` vectors with smallest md5(vec_id) per k-means cluster
+    (deterministic-uniform within a cluster, equal representation
+    across clusters regardless of cluster skew). Scale shape: each
+    batch pre-truncates to its own per-cluster top-``cap`` before the
+    shuffle, so the final merge sees <= batches x k x cap rows and the
+    groupby key domain is the FIXED k — never corpus-sized."""
+    from ..functions.text import md5_of_ids
+
+    assigned = kmeans_clusters(sf_dir, k=k, sample=sample, iters=iters,
+                               seed=seed)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(_h=md5_of_ids(df["vec_id"].to_numpy()))
+        return (out.sort_values(["cluster", "_h", "vec_id"])
+                .groupby("cluster").head(cap))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_h", "vec_id"]).head(cap)
+                [["vec_id", "cluster", "sim"]])
+
+    return (assigned.map_batches(partial, batch_format="pandas")
+            .groupby("cluster").map_groups(final, batch_format="pandas"))
+
+
 def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
                     iters: int = 10, seed: int = 11):
     """IVF coarse index: k-means centroids fitted on a driver-side
@@ -450,6 +478,7 @@ QUERIES = {
     "ann_lsh": lsh_topk,
     "ann_ivf": ivf_topk,
     "kmeans_clusters": kmeans_clusters,
+    "kmeans_balanced_sample": kmeans_balanced_sample,
 }
 
 

@@ -235,3 +235,19 @@ def test_tfidf_tie_breaks_to_smallest_token(ray_session,
     assert out.loc[0, "tok"] == "aa"
     pd.testing.assert_frame_equal(out.sort_index(), want.sort_index(),
                                   check_dtype=False)
+
+
+def test_tfidf_join_path_equals_broadcast(ray_session, monkeypatch):
+    """The broadcast-df and join-df scoring strategies agree — small
+    corpora take the broadcast path, so the join path keeps coverage
+    through this forced-path guard."""
+
+    def result():
+        t = _to_df(extended.q_tfidf_top_term(SF_DIR))
+        return set(zip(t["doc_id"], t["tok"], t["score"].round(12)))
+
+    via_broadcast = result()
+    monkeypatch.setattr(extended, "BROADCAST_VOCAB_LIMIT", -1)
+    via_join = result()
+    assert via_broadcast == via_join
+    assert len(via_broadcast) > 0
