@@ -251,3 +251,39 @@ def test_tfidf_join_path_equals_broadcast(ray_session, monkeypatch):
     via_join = result()
     assert via_broadcast == via_join
     assert len(via_broadcast) > 0
+
+
+def test_round4_ops_on_random_corpus(ray_session, tmp_path_factory):
+    """Round-4 operators vs their DuckDB oracles on a seeded RANDOM
+    corpus with planted edge cases (empty text, single token, double
+    spaces, all-identical docs, PII strings, tied lengths) — the
+    driver testdata never exercises these boundaries."""
+    import numpy as np
+    rng = np.random.default_rng(1234)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(80)]
+    texts += ["", "solo", "a  b", "dup dup dup dup",
+              "dup dup dup dup",
+              "mail me at x.y@example.org or ping 10.1.2.3",
+              "call +1 415-555 0199 today"]
+    tmpdir = str(tmp_path_factory.mktemp("rnd"))
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64") * 3 + 1,
+        "text": texts})
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df.to_parquet(f"{tmpdir}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmpdir}/documents.parquet'")
+    for name in ("repetition_scores", "redact_pii",
+                 "percent_rank_chars", "tfidf_top_term",
+                 "decontaminate"):
+        a = _to_df(extended.QUERIES[name](tmpdir))
+        b = con.sql(extended.ORACLE_SQL[name]).to_df()
+        a = a[sorted(a.columns)].sort_values(
+            by=sorted(a.columns), ignore_index=True)
+        b = b[sorted(b.columns)].sort_values(
+            by=sorted(b.columns), ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      obj=name)

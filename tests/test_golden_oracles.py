@@ -122,3 +122,34 @@ class TestGoldenOnRandomInputs:
         ours = _to_df(q_hll_distinct_users(str(d)))
         exp = _to_df(golden.golden_hll_distinct_users(str(d)))
         pd.testing.assert_frame_equal(ours, exp)
+
+
+def test_kmeans_golden_on_random_embeddings(ray_session,
+                                            tmp_path_factory):
+    """kmeans_clusters / kmeans_balanced_sample agree with their
+    independent goldens on a RANDOM clustered embedding table
+    (including k > natural clusters and non-contiguous ids), not just
+    the driver testdata."""
+    import numpy as np
+    import pandas as pd
+    from pgstosrt_ray.pipelines import similarity
+    rng = np.random.default_rng(99)
+    centers = rng.normal(size=(3, 16))
+    rows = []
+    for i in range(300):
+        c = i % 3
+        rows.append((centers[c] + 0.05 * rng.normal(size=16))
+                    .astype(np.float32))
+    tmpdir = str(tmp_path_factory.mktemp("emb"))
+    pd.DataFrame({
+        "vec_id": np.arange(300, dtype="int64") * 7 + 3,
+        "embedding": [list(map(float, r)) for r in rows],
+    }).to_parquet(f"{tmpdir}/embeddings.parquet")
+    for pipe, gold in ((similarity.kmeans_clusters, golden.golden_kmeans),
+                       (similarity.kmeans_balanced_sample,
+                        golden.golden_kmeans_sample)):
+        ours = _to_df(pipe(tmpdir)).sort_values(
+            "vec_id", ignore_index=True)
+        exp = _to_df(gold(tmpdir)).sort_values(
+            "vec_id", ignore_index=True)
+        pd.testing.assert_frame_equal(ours, exp, check_dtype=False)
