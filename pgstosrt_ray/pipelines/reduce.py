@@ -192,6 +192,60 @@ def agg_topk(ds, sort_cols, ascending, k: int) -> pa.Table:
                                 preserve_index=False)
 
 
+def agg_group_topk(ds, group_cols, sort_cols, ascending,
+                   k: int) -> pa.Table:
+    """Per-group top-k for SMALL FIXED group domains via the same
+    single-shuffle ``AggregateFn`` fold as ``agg_topk``: every state
+    is <= groups x k rows, so both the shuffle payload and the driver
+    result are O(groups x k) regardless of corpus size. (The
+    map_groups alternative materializes one whole-group frame per
+    group — batches x k rows at web scale.) Only for group domains
+    that do NOT grow with the corpus (cluster ids, flags);
+    ``sort_cols`` must define a total order within a group."""
+    import pickle
+
+    from ray.data.aggregate import AggregateFn
+
+    gcols, scols = list(group_cols), list(sort_cols)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(gcols + scols,
+                               ascending=[True] * len(gcols)
+                               + list(ascending),
+                               kind="mergesort")
+                .groupby(gcols, sort=False).head(k))
+
+    def load(st):
+        return pickle.loads(st) if st else None
+
+    def acc_block(st, blk) -> bytes:
+        if isinstance(blk, pa.Table):
+            blk = blk.to_pandas()
+        prev = load(st)
+        cur = blk if prev is None else pd.concat([prev, blk],
+                                                 ignore_index=True)
+        return pickle.dumps(fold(cur))
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        da, db = load(a), load(b)
+        if da is None:
+            return b
+        if db is None:
+            return a
+        return pickle.dumps(fold(pd.concat([da, db],
+                                           ignore_index=True)))
+
+    out = ds.aggregate(AggregateFn(
+        init=lambda _: b"", accumulate_block=acc_block, merge=merge,
+        finalize=lambda st: st if st else pickle.dumps(None),
+        name="gtopk"))
+    df = None if out is None else load(out.get("gtopk"))
+    if df is None:
+        return _empty_arrow_like(ds, gcols + scols)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def _empty_arrow_like(ds, fallback_cols) -> pa.Table:
     """Zero-row arrow table with the dataset's declared schema (or
     null-typed fallback columns when even the schema is unknown)."""

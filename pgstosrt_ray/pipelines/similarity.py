@@ -404,26 +404,27 @@ def kmeans_balanced_sample(sf_dir: str, k: int = 8, cap: int = 32,
     """Cluster-balanced sampling — the semantic-curation sampler:
     the ``cap`` vectors with smallest md5(vec_id) per k-means cluster
     (deterministic-uniform within a cluster, equal representation
-    across clusters regardless of cluster skew). Scale shape: each
-    batch pre-truncates to its own per-cluster top-``cap`` before the
-    shuffle, so the final merge sees <= batches x k x cap rows and the
-    groupby key domain is the FIXED k — never corpus-sized."""
+    across clusters regardless of cluster skew). Scale shape: one
+    ``AggregateFn`` fold whose state is <= k x cap rows
+    (reduce.agg_group_topk) — the shuffle payload and the driver
+    result are O(k x cap) at ANY corpus size, never a whole-cluster
+    frame."""
+    import ray.data
+
     from ..functions.text import md5_of_ids
+    from .reduce import agg_group_topk
 
     assigned = kmeans_clusters(sf_dir, k=k, sample=sample, iters=iters,
                                seed=seed)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.assign(_h=md5_of_ids(df["vec_id"].to_numpy()))
-        return (out.sort_values(["cluster", "_h", "vec_id"])
-                .groupby("cluster").head(cap))
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_h=md5_of_ids(df["vec_id"].to_numpy()))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(["_h", "vec_id"]).head(cap)
-                [["vec_id", "cluster", "sim"]])
-
-    return (assigned.map_batches(partial, batch_format="pandas")
-            .groupby("cluster").map_groups(final, batch_format="pandas"))
+    out = agg_group_topk(
+        assigned.map_batches(add_key, batch_format="pandas"),
+        ["cluster"], ["_h", "vec_id"], [True, True], cap)
+    return ray.data.from_arrow(
+        out.select(["vec_id", "cluster", "sim"]))
 
 
 def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,

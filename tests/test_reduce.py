@@ -168,3 +168,33 @@ def test_materialize_nonempty_all_empty_keeps_schema(ray_session):
     m = materialize_nonempty(ray.data.from_arrow(empty))
     assert m.count() == 0
     assert m.schema() is not None and m.schema().names == ["k"]
+
+
+def test_agg_group_topk_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from pgstosrt_ray.pipelines.reduce import agg_group_topk
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 1000),
+                       "v": rng.permutation(1000),
+                       "id": np.arange(1000)})
+    got = (agg_group_topk(
+        ray.data.from_pandas(df).repartition(13),
+        ["g"], ["v", "id"], [True, True], k=7)
+        .to_pandas().sort_values(["g", "v"], ignore_index=True))
+    want = (df.sort_values(["g", "v", "id"]).groupby("g").head(7)
+            .sort_values(["g", "v"], ignore_index=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_agg_group_topk_empty_dataset_typed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pgstosrt_ray.pipelines.reduce import agg_group_topk
+    empty = pa.table({"g": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64())})
+    t = agg_group_topk(ray.data.from_arrow(empty), ["g"], ["v"],
+                       [True], k=3)
+    assert t.num_rows == 0 and t.schema.names == ["g", "v"]
