@@ -50,6 +50,22 @@ def _groups(groups) -> int:
     return groups if groups else shuffle_groups()
 
 
+def _salted_groups(sf_dir: str, groups, table: str, explode_mult: int,
+                   row_bytes: int) -> int:
+    """Data-sized salted group count for the (band/cell, key) pair
+    shuffles: parquet-footer row count x explode factor x shuffled row
+    width, floored at shuffle_groups() (reduce.buckets_for). A
+    cluster-sized-only count materializes corpus x bands / groups rows
+    per group task — growing with the data. Output-invariant: the
+    count only partitions the (band, key) cells across tasks, never
+    which pairs are generated."""
+    if groups:
+        return groups
+    from .reduce import buckets_for, parquet_rows
+    n = parquet_rows(f"{sf_dir}/{table}.parquet")
+    return buckets_for(est_bytes=n * explode_mult * row_bytes)
+
+
 PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
@@ -180,7 +196,9 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
     # would otherwise recompute the shingle/minhash pass; signatures
     # are ~1 KB/doc (~1000x smaller than text), object store can spill
     sigs = _signatures(sf_dir).materialize()
-    cand = candidate_ids(sigs, _groups(groups))
+    # exploded band row = (band i32, key i64, doc i64) ~ 24 B
+    cand = candidate_ids(sigs, _salted_groups(sf_dir, groups,
+                                              "documents", BANDS, 24))
     return estimate_pairs(cand, sigs, threshold)
 
 
@@ -436,6 +454,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     not 4); the 8-byte simhash rides along (4x8 B per doc is cheap,
     unlike the 1 KB MinHash signature)."""
     sigs = simhash_signatures(sf_dir)
+    # exploded band row = (doc i64, simhash i64, band i32, key i64)
+    groups = _salted_groups(sf_dir, groups, "documents", 4, 32)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -696,8 +716,10 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
     import ray.data
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    stage = functools.partial(_bucketize_batch, tables=tables, bits=bits,
-                              groups=_groups(groups))
+    # cell row carries the embedding: ~dim x 4 B + ids ~= 280 B
+    stage = functools.partial(
+        _bucketize_batch, tables=tables, bits=bits,
+        groups=_salted_groups(sf_dir, groups, "embeddings", tables, 280))
     buckets = ds.map_batches(stage, batch_format="pyarrow",
                              batch_size=4096)
 

@@ -137,3 +137,25 @@ def test_inverted_index_posting_cap(ray_session, tmp_path):
     # uncapped tokens unaffected: one row each, one doc each
     rest = out[out["token"] != "the"]
     assert len(rest) == n_docs and (rest["n_docs"] == 1).all()
+
+
+def test_salted_pair_groups_grow_with_corpus(tmp_path):
+    """The dedup band/cell shuffles size their salted group count from
+    the corpus row count (x explode factor), not only the cluster —
+    at 10^12 docs a cluster-sized-only count would hand each group
+    task corpus x bands / groups rows."""
+    from pgstosrt_ray.pipelines.dedupe import _salted_groups
+    d = str(tmp_path)
+    pd.DataFrame({"doc_id": np.arange(100, dtype="int64"),
+                  "text": ["w"] * 100}).to_parquet(
+        f"{d}/documents.parquet")
+    small = _salted_groups(d, None, "documents", 16, 24)
+    assert small == shuffle_groups()  # tiny corpus stays at the floor
+    # an explicit count wins (the checkpointed flow persists its own)
+    assert _salted_groups(d, 7, "documents", 16, 24) == 7
+    # a corpus big enough to exceed the floor derives a larger count
+    from pgstosrt_ray.pipelines.reduce import buckets_for
+    rows_needed = (shuffle_groups() + 1) * TARGET_BUCKET_DISK_BYTES \
+        // (16 * 24)
+    assert buckets_for(est_bytes=rows_needed * 16 * 24) \
+        > shuffle_groups()

@@ -22,9 +22,12 @@ import pyarrow as pa
 qs = e.queries()
 SF = "/root/testdata/sf0.001"
 expect_rows = {"exact_dedup_keep": 500, "window_fill": 1000,
-               "sessionize": None, "minhash_pairs": None}
+               "sessionize": None, "minhash_pairs": None,
+               "decontaminate": None, "tfidf_top_term": 500,
+               "kmeans_balanced_sample": None}
 for name in ["exact_dedup_keep", "window_fill", "sessionize",
-             "minhash_pairs"]:
+             "minhash_pairs", "decontaminate", "tfidf_top_term",
+             "kmeans_balanced_sample"]:
     r = qs[name](SF)
     import ray.data
     if isinstance(r, ray.data.Dataset):
@@ -46,5 +49,6 @@ def test_queries_at_driver_parallelism():
         capture_output=True, text=True, cwd=REPO, env=env, timeout=420)
     assert res.returncode == 0, (res.stdout[-1000:], res.stderr[-2000:])
     for name in ["exact_dedup_keep", "window_fill", "sessionize",
-                 "minhash_pairs"]:
+                 "minhash_pairs", "decontaminate", "tfidf_top_term",
+                 "kmeans_balanced_sample"]:
         assert f"{name} ok" in res.stdout
