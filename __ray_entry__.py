@@ -130,7 +130,7 @@ def _quality_score(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pgstosrt_ray.pipelines import (dedupe, extended, relational,
-                                        similarity)
+                                        similarity, webops)
     # Registration ORDER is deliberate: the round-3 driver recorded
     # exactly the first 50 registered entries, so the 16 queries absent
     # from CORRECTNESS_r03 (the flagship extract trio first) lead here —
@@ -156,11 +156,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(dedupe.QUERIES)
     out.update(similarity.QUERIES)
     out.update(extended.QUERIES)
+    out.update(webops.QUERIES)
     # round-4 additions re-insert at the TAIL regardless of module, so
     # a count-capped driver run keeps earlier rounds' recorded coverage
     for name in ("repetition_scores", "decontaminate", "redact_pii",
                  "percent_rank_chars", "tfidf_top_term",
-                 "kmeans_clusters", "kmeans_balanced_sample"):
+                 "kmeans_clusters", "kmeans_balanced_sample",
+                 "simhash_clusters", "event_type_pivot", "source_stats",
+                 "lang_top_tokens", "stratified_sample",
+                 "window_distinct_users", "dup_ngram_coverage",
+                 "cms_token_counts"):
         out[name] = out.pop(name)
     return out
 
@@ -218,12 +223,13 @@ FROM q
 
 def oracle_sql() -> dict[str, str]:
     from pgstosrt_ray.pipelines import (dedupe, extended, relational,
-                                        similarity)
+                                        similarity, webops)
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     out.update(dedupe.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out.update(extended.ORACLE_SQL)
+    out.update(webops.ORACLE_SQL)
     out["lang_id"] = SQL_LANG_ID
     out["quality_score"] = SQL_QUALITY_SCORE
     # flagship oracles: the deterministic golden parquet written by the
@@ -255,6 +261,8 @@ _GOLDEN_COLS = {
     "minhash_clusters": "doc_id, cluster_id",
     "minhash_dedup_keep": "doc_id",
     "simhash_pairs": "doc_a, doc_b, hamming",
+    "simhash_clusters": "doc_id, cluster_id",
+    "cms_token_counts": "token, est_n",
     "ngram_jaccard_pairs": "doc_a, doc_b, jaccard3",
     "embedding_near_dup": "doc_a, doc_b, cosine",
     "ann_lsh": "vec_id, sim",

@@ -64,3 +64,61 @@ def estimate(regs: np.ndarray) -> float:
         if zeros:
             return M * np.log(M / zeros)
     return float(e)
+
+
+# ---------------------------------------------------- count-min sketch
+# Frequency sketch with the same 100 TB shape as the HLL above: each
+# batch folds token occurrences into a fixed (D x W) int64 grid (the
+# only worker output, 256 KiB), grids merge by ELEMENTWISE SUM —
+# associative, commutative AND exact in int64, so any merge tree gives
+# bit-identical counts — and point queries read min over the D rows
+# (Cormode & Muthukrishnan 2005). Row hashing is multiply-shift over
+# the sha1-u64 item hash with fixed public mixing constants
+# (splitmix64 / xxhash primes): deterministic across processes and
+# engines, no PYTHONHASHSEED dependence.
+CMS_D = 4
+CMS_W_BITS = 13
+CMS_W = 1 << CMS_W_BITS          # 8192 columns
+CMS_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                  0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                 dtype=np.uint64)
+CMS_B = np.array([0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1],
+                 dtype=np.uint64)
+
+
+def cms_indices(hashes: np.ndarray) -> np.ndarray:
+    """(D, n) column indices for uint64 item hashes (vectorized
+    multiply-shift: ((h*A_i + B_i) mod 2^64) >> (64 - W_BITS))."""
+    h = hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = CMS_A[:, None] * h[None, :] + CMS_B[:, None]
+    return (mixed >> np.uint64(64 - CMS_W_BITS)).astype(np.int64)
+
+
+def cms_of(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(unique-item hashes, occurrence counts) -> (D, W) int64 grid."""
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if hashes.size == 0:
+        return grid
+    idx = cms_indices(hashes)
+    c = counts.astype(np.int64)
+    for i in range(CMS_D):
+        np.add.at(grid[i], idx[i], c)
+    return grid
+
+
+def cms_merge(blobs: list[bytes]) -> np.ndarray:
+    out = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for b in blobs:
+        out += np.frombuffer(b, dtype=np.int64)
+    return out.reshape(CMS_D, CMS_W)
+
+
+def cms_query(grid: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the D rows (>= true count,
+    overshoot bounded by e*N/W with prob 1-e^-D per query)."""
+    if hashes.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = cms_indices(hashes)
+    ests = np.stack([grid[i][idx[i]] for i in range(CMS_D)])
+    return ests.min(axis=0).astype(np.int64)

@@ -52,15 +52,22 @@ def md5_of_ids(ids) -> np.ndarray:
                     dtype=object)
 
 
-def split_of_ids(ids) -> np.ndarray:
-    """Deterministic ~80/10/10 train/val/test assignment: first 8 hex
-    chars of md5(decimal id) mod 100 — identical on any engine, stable
-    under reshuffles. Post-hash mapping is vectorized."""
+def md5_bucket_of_ids(ids) -> np.ndarray:
+    """Deterministic per-id percentile bucket: first 8 hex chars of
+    md5(decimal id) mod 100 — identical on any engine (mirrors DuckDB
+    ``('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 100``),
+    stable under reshuffles/reruns. The shared primitive behind the
+    train/val/test split and stratified sampling."""
     _md5 = hashlib.md5
-    n = len(ids)
-    b = np.fromiter(
+    return np.fromiter(
         (int(_md5(b"%d" % i).hexdigest()[:8], 16) % 100
-         for i in map(int, ids)), dtype=np.int64, count=n)
+         for i in map(int, ids)), dtype=np.int64, count=len(ids))
+
+
+def split_of_ids(ids) -> np.ndarray:
+    """Deterministic ~80/10/10 train/val/test assignment over the
+    md5 percentile bucket. Post-hash mapping is vectorized."""
+    b = md5_bucket_of_ids(ids)
     return np.where(b < 80, "train",
                     np.where(b < 90, "val", "test")).astype(object)
 

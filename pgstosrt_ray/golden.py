@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v7"  # v7: + kmeans_balanced_sample golden;
+GOLDEN_VERSION = "v8"  # v8: + simhash_clusters + cms_token_counts
+#     goldens; v7: + kmeans_balanced_sample golden;
 #     v6: + kmeans_clusters golden; v5: frame_sha is
 #     hex text (DuckDB BLOB->bytearray breaks hash-based value
 #     compares); v4: IVF hash(vec_id) sample
@@ -208,6 +209,32 @@ def golden_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         "doc_a": pa.array([r[0] for r in rows], pa.int64()),
         "doc_b": pa.array([r[1] for r in rows], pa.int64()),
         "hamming": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def golden_simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Connected components over the Hamming-<=3 SimHash pair graph
+    (union-find with min-label roots, like golden_minhash_clusters)."""
+    ids, _ = _docs(sf_dir)
+    pairs = golden_simhash_pairs(sf_dir, max_hamming)
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for da, db in zip(pairs.column("doc_a").to_pylist(),
+                      pairs.column("doc_b").to_pylist()):
+        ra, rb = find(da), find(db)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array([find(i) for i in ids], pa.int64()),
     })
 
 
@@ -435,6 +462,40 @@ def golden_hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     return pa.table({"n_users_approx": pa.array([float(est)], pa.float64())})
 
 
+# ------------------------------------------------------ count-min sketch
+# Spec mirrored from functions/sketch.py (D=4, W=2^13, sha1-u64 item
+# hash, multiply-shift rows with the public splitmix64/xxhash primes)
+# and pipelines/webops.py CMS_PROBES — re-implemented as a plain
+# per-token Python walk, no shared kernels.
+_CMS_GOLD_A = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+               0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_CMS_GOLD_B = (0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1)
+
+
+def golden_cms_token_counts(sf_dir: str) -> pa.Table:
+    import re as _re
+    probes = ("the", "data", "value", "table", "spark", "window",
+              "quantum")
+    w_bits, w = 13, 1 << 13
+    grid = [[0] * w for _ in range(4)]
+
+    def rows_of(tok: str):
+        h = int.from_bytes(
+            hashlib.sha1(tok.encode("utf-8")).digest()[:8], "big")
+        return [((a * h + b) & MASK64) >> (64 - w_bits)
+                for a, b in zip(_CMS_GOLD_A, _CMS_GOLD_B)]
+
+    _, texts = _docs(sf_dir)
+    for text in texts:
+        for tok in _re.findall(r"\S+", text):
+            for i, idx in enumerate(rows_of(tok)):
+                grid[i][idx] += 1
+    ests = [min(grid[i][idx] for i, idx in enumerate(rows_of(p)))
+            for p in probes]
+    return pa.table({"token": pa.array(list(probes), pa.string()),
+                     "est_n": pa.array(ests, pa.int64())})
+
+
 # ----------------------------------------------- log-histogram quantiles
 def golden_approx_quantiles(sf_dir: str) -> pa.Table:
     """Independent re-computation of the log-histogram quantile sketch
@@ -540,6 +601,8 @@ GOLDEN_BUILDERS = {
     "minhash_clusters": (golden_minhash_clusters, "sf"),
     "minhash_dedup_keep": (golden_minhash_dedup_keep, "sf"),
     "simhash_pairs": (golden_simhash_pairs, "sf"),
+    "simhash_clusters": (golden_simhash_clusters, "sf"),
+    "cms_token_counts": (golden_cms_token_counts, "sf"),
     "ngram_jaccard_pairs": (golden_ngram_jaccard_pairs, "sf"),
     "embedding_near_dup": (golden_embedding_near_dup, "sf"),
     "ann_lsh": (golden_ann_lsh, "sf"),

@@ -759,6 +759,20 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
         ["cosine"].max())
 
 
+def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
+                           max_rounds: int = 25):
+    """documents -> (doc_id, cluster_id) over the SimHash near-dup
+    graph: banding pairs (simhash_near_dup_pairs) feed the SAME
+    connected-components machinery as MinHash (label_propagation —
+    broadcast union-find below the counted edge gate, distributed
+    min-label propagation above it). cluster_id = min doc_id in the
+    Hamming-<=``max_hamming`` component."""
+    edges = _materialize_nonempty(_edges_of(
+        simhash_near_dup_pairs(sf_dir, max_hamming)))
+    ids = _read_docs(sf_dir).select_columns(["doc_id"])
+    return label_propagation(edges, ids, max_rounds)
+
+
 def minhash_dedup_keep(sf_dir: str, threshold: float = 0.5):
     """The end-to-end near-dedup: doc_ids that SURVIVE MinHash-LSH
     dedup (one keeper — the min doc_id — per connected near-dup
@@ -778,6 +792,7 @@ QUERIES = {
     "minhash_clusters": minhash_dedup_clusters,
     "minhash_dedup_keep": minhash_dedup_keep,
     "simhash_pairs": simhash_near_dup_pairs,
+    "simhash_clusters": simhash_dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_verify,
     "embedding_near_dup": embedding_near_dup_pairs,
 }

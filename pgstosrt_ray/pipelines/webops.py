@@ -1,0 +1,365 @@
+"""Round-4 web-corpus operator additions: pivoted per-key counts,
+fixed-domain source stats, per-language vocabulary top-k, stratified
+sampling, windowed distinct counts, corpus duplicate-shingle coverage,
+and a mergeable count-min frequency sketch.
+
+Same contract as pipelines/extended.py: every query has a DuckDB
+oracle with identical column names/types (or an independent golden
+for the sketch), and the shared scale rules hold — pruned reads,
+partial aggregation before every shuffle, corpus-cardinality keys
+bucketed on hash(key) % B with data-sized B (reduce.buckets_for),
+fixed-small key domains allowed through ``ds.groupby``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .reduce import agg_fold_blobs, agg_group_topk, bucketed_group_agg, input_bytes
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, **kw)
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    return input_bytes(f"{sf_dir}/{table}.parquet")
+
+
+# --- pivoted per-user event-type counts ----------------------------------
+# The event-type domain is part of the schema contract (5 values), so
+# the pivot is a FIXED-width row: per-batch crosstab partials (one row
+# per user per batch, 5 int columns), then one bucketed sum keyed on
+# the corpus-cardinality user_id.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0)
+        ct.columns = cols
+        out = ct.reset_index()
+        out[cols] = out[cols].astype("int64")
+        return out
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False)[cols].sum(),
+        est_bytes=_table_bytes(sf_dir, "events"))
+
+
+SQL_EVENT_TYPE_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                for t in EVENT_TYPES)
+    + " FROM events GROUP BY user_id")
+
+
+# --- per-source corpus stats ---------------------------------------------
+def q_source_stats(sf_dir: str):
+    """Per-source doc count / char volume / mean length — the
+    per-domain health report of a crawl. Source is a fixed small
+    domain, so per-batch partials reduce through Ray's hash aggregate
+    directly (<= n_sources rows per batch ever shuffle); the mean is
+    one exact-int division, bit-identical on any engine."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "count"), total_chars=("n_chars", "sum"))
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum(on="n_docs", alias_name="n_docs"),
+                      Sum(on="total_chars", alias_name="total_chars")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy().astype(np.int64)
+        tot = t.column("total_chars").to_numpy().astype(np.int64)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "total_chars": pa.array(tot, pa.int64()),
+            "mean_chars": pa.array(tot.astype(np.float64) / n,
+                                   pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SOURCE_STATS = (
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars "
+    "FROM documents GROUP BY source")
+
+
+# --- per-language vocabulary top-k ---------------------------------------
+def q_lang_top_tokens(sf_dir: str, k: int = 10):
+    """Top-k tokens per language: per-batch (lang, token) partial
+    counts, one bucketed sum over the vocabulary-cardinality key,
+    then the single-shuffle per-group top-k fold (reduce.
+    agg_group_topk — language is a fixed domain, so every fold state
+    is <= langs x k rows and the driver sees only the final rows)."""
+    from ..functions.text import TOKEN_RE
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.set_index("lang")["text"].str.findall(TOKEN_RE).explode()
+        s = s.dropna()
+        g = s.reset_index()
+        g.columns = ["lang", "token"]
+        out = g.groupby(["lang", "token"], as_index=False).size()
+        out.columns = ["lang", "token", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    total = bucketed_group_agg(
+        ds.map_batches(counts, batch_format="pandas"), ["lang", "token"],
+        lambda g: g.groupby(["lang", "token"], as_index=False)["n"].sum(),
+        est_bytes=_table_bytes(sf_dir, "documents"))
+    return agg_group_topk(total, ["lang"], ["n", "token"],
+                          [False, True], k=k)
+
+
+SQL_LANG_TOP_TOKENS = """
+WITH c AS (
+  SELECT lang, token, COUNT(*) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+    FROM documents) GROUP BY lang, token)
+SELECT lang, token, n FROM (
+  SELECT lang, token, n, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY n DESC, token) AS rn FROM c)
+WHERE rn <= 10
+"""
+
+
+# --- stratified (per-language) sampling ----------------------------------
+# Rebalance the language mix: keep a per-language percentage via the
+# deterministic md5 percentile bucket (functions.text.md5_bucket_of_ids
+# — the train_split primitive). Map-only: no shuffle, stable under
+# reruns/reshuffles, identical on any engine.
+STRATA_PCT = {"en": 10, "es": 20, "fr": 20, "de": 20, "zh": 50}
+STRATA_DEFAULT_PCT = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    from ..functions.text import md5_bucket_of_ids
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        b = md5_bucket_of_ids(df["doc_id"].to_numpy())
+        pct = (df["lang"].map(STRATA_PCT)
+               .fillna(STRATA_DEFAULT_PCT).to_numpy(dtype=np.int64))
+        keep = b < pct
+        return df.loc[keep, ["doc_id", "lang"]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = (
+    "SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS "
+    "VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM documents) "
+    "WHERE b < CASE "
+    + " ".join(f"WHEN lang = '{l}' THEN {p}"
+               for l, p in STRATA_PCT.items())
+    + f" ELSE {STRATA_DEFAULT_PCT} END")
+
+
+# --- distinct users per tumbling window ----------------------------------
+def q_window_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user) per hour window: per-batch arrow distinct
+    on (window, user) (map-side combine), bucketed pair-dedup keyed on
+    the corpus-cardinality pair emitting per-window partial counts,
+    then one tiny fixed-domain sum over windows. Raw user ids never
+    reach the driver and never shuffle twice."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        tb = pa.table({"window_start": hour,
+                       "user_id": t.column("user_id")})
+        return tb.group_by(["window_start", "user_id"]).aggregate([])
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["window_start", "user_id"])
+        out = d.groupby("window_start", as_index=False).size()
+        out.columns = ["window_start", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["window_start", "user_id"], bucket_counts,
+        est_bytes=_table_bytes(sf_dir, "events"))
+    agg = partials.groupby("window_start").aggregate(
+        Sum(on="n", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "window_start": t.column("window_start"),
+            "n_users": t.column("n_users").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_WINDOW_DISTINCT_USERS = (
+    "SELECT date_trunc('hour', ts) AS window_start, "
+    "COUNT(DISTINCT user_id) AS n_users FROM events "
+    "GROUP BY date_trunc('hour', ts)")
+
+
+# --- corpus duplicate-shingle coverage -----------------------------------
+# RefinedWeb-style duplicate-text metric: the fraction of a document's
+# distinct word-5-grams that occur in >= 2 documents corpus-wide.
+# Shape: gram rows shuffle ONCE (bucketed on hash(gram)), each bucket
+# emits per-doc partial duplicate counts; per-doc totals are map-only;
+# both partial streams union into one bucketed per-doc sum — no join,
+# texts never enter a shuffle.
+COVERAGE_N = 5
+
+
+def q_dup_ngram_coverage(sf_dir: str, n: int = COVERAGE_N):
+    from .extended import _word_ngrams
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_bytes = _table_bytes(sf_dir, "documents")
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _word_ngrams(df, n)
+
+    def dup_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct per (doc, gram) by construction, so a
+        # per-gram row count == distinct-doc count
+        cnt = g.groupby("g")["doc_id"].transform("size")
+        dup = g[cnt >= 2]
+        out = dup.groupby("doc_id", as_index=False).size()
+        out.columns = ["doc_id", "n_dup"]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "n_grams": np.zeros(len(out), dtype=np.int64),
+            "n_dup": out["n_dup"].astype("int64"),
+        })
+
+    dupp = bucketed_group_agg(
+        ds.map_batches(gram_rows, batch_format="pandas"), ["g"],
+        dup_partials, est_bytes=docs_bytes * n)
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = _word_ngrams(df, n).groupby("doc_id").size()
+        tot = df["doc_id"].map(per_doc).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_grams": tot,
+            "n_dup": np.zeros(len(df), dtype=np.int64),
+        })
+
+    both = ds.map_batches(totals, batch_format="pandas").union(dupp)
+
+    def per_doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False)[
+            ["n_grams", "n_dup"]].sum()
+
+    summed = bucketed_group_agg(both, ["doc_id"], per_doc_sum,
+                                est_bytes=docs_bytes)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["n_grams"].to_numpy(np.int64)
+        dup = df["n_dup"].to_numpy(np.int64)
+        frac = np.where(tot > 0,
+                        dup.astype(np.float64)
+                        / np.maximum(tot, 1).astype(np.float64), 0.0)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_grams": tot, "n_dup": dup,
+                             "dup_frac": frac})
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
+SQL_DUP_NGRAM_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(ws[i:i+{COVERAGE_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ws) - {COVERAGE_N - 2})) AS t(i)),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS BIGINT)
+      AS n_dup
+  FROM grams GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_dup, 0) AS n_dup,
+  CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+       ELSE CAST(p.n_dup AS DOUBLE) / p.n_grams END AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --- count-min token-frequency sketch ------------------------------------
+# Probe tokens are a fixed contract (the "which phrases are exploding"
+# monitoring query); 'quantum' is deliberately absent from the corpus
+# so the zero path stays covered.
+CMS_PROBES = ("the", "data", "value", "table", "spark", "window",
+              "quantum")
+
+
+def q_cms_token_counts(sf_dir: str):
+    """Token-frequency point estimates from a count-min sketch
+    (functions/sketch.py): each batch folds its token occurrence
+    counts into a fixed 256 KiB int64 grid — the ONLY thing that
+    leaves a worker — grids sum-merge IN-CLUSTER through the
+    AggregateFn blob fold (exact int64 addition: associative +
+    commutative, any merge tree is bit-identical), and the driver
+    probes the final grid once. Value-checked against the independent
+    single-threaded oracle (golden.golden_cms_token_counts)."""
+    from ..functions.sketch import cms_merge, cms_of, cms_query
+    from ..functions.text import TOKEN_RE, sha1_u64
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(TOKEN_RE).explode().dropna()
+        vc = toks.value_counts()
+        h = sha1_u64(pd.Series(vc.index.to_numpy(dtype=object)))
+        grid = cms_of(h, vc.to_numpy())
+        return pa.table({"cms": pa.array([grid.tobytes()], pa.binary())})
+
+    blob = agg_fold_blobs(
+        ds.map_batches(partial, batch_format="pandas"), "cms",
+        lambda blobs: cms_merge(blobs).tobytes())
+    grid = cms_merge([blob])
+    from ..functions.text import sha1_u64 as _h
+    est = cms_query(grid, _h(pd.Series(list(CMS_PROBES))))
+    return pa.table({"token": pa.array(list(CMS_PROBES), pa.string()),
+                     "est_n": pa.array(est, pa.int64())})
+
+
+QUERIES = {
+    "event_type_pivot": q_event_type_pivot,
+    "source_stats": q_source_stats,
+    "lang_top_tokens": q_lang_top_tokens,
+    "stratified_sample": q_stratified_sample,
+    "window_distinct_users": q_window_distinct_users,
+    "dup_ngram_coverage": q_dup_ngram_coverage,
+    "cms_token_counts": q_cms_token_counts,
+}
+
+ORACLE_SQL = {
+    "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
+    "source_stats": SQL_SOURCE_STATS,
+    "lang_top_tokens": SQL_LANG_TOP_TOKENS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
+    "dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE,
+    # cms_token_counts: golden oracle wired in __ray_entry__.py
+}

@@ -1,0 +1,189 @@
+"""Round-4 web-corpus operator conformance (pipelines/webops.py +
+simhash clusters): driver-style DuckDB compare, golden compares for
+the sketch/signature ops, planted-case and forced-path coverage."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pgstosrt_ray.pipelines import webops
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_df(result) -> pd.DataFrame:
+    import ray
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        tabs = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
+        t = pa.concat_tables(tabs) if tabs else pa.table({})
+    else:
+        t = result
+    df = t.to_pandas()
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(webops.ORACLE_SQL))
+def test_webops_matches_oracle(ray_session, con, name):
+    a = _to_df(webops.QUERIES[name](SF_DIR))
+    b = _to_df(pa.Table.from_pandas(
+        con.sql(webops.ORACLE_SQL[name]).to_df()))
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ------------------------------------------------- count-min sketch
+def test_cms_overestimates_never_undercounts(ray_session, con):
+    """CMS guarantee: est >= exact for every probe, exact 0 stays 0
+    for the absent token (no row of the grid can undercount)."""
+    est = _to_df(webops.q_cms_token_counts(SF_DIR))
+    est = dict(zip(est["token"], est["est_n"]))
+    total = con.sql(
+        "SELECT CAST(SUM(length(regexp_extract_all(text, '\\S+'))) "
+        "AS BIGINT) FROM documents").fetchone()[0]
+    for tok in webops.CMS_PROBES:
+        exact = con.sql(
+            "SELECT COUNT(*) FROM (SELECT unnest(regexp_extract_all("
+            f"text, '\\S+')) AS t FROM documents) WHERE t = '{tok}'"
+        ).fetchone()[0]
+        assert est[tok] >= exact, (tok, est[tok], exact)
+        # e*N/W overshoot bound (loose: deterministic data, so this
+        # either always holds or the sketch parameters are wrong)
+        from pgstosrt_ray.functions.sketch import CMS_W
+        assert est[tok] <= exact + 4 * total // CMS_W + 1, (
+            tok, est[tok], exact)
+    assert est["quantum"] == 0
+
+
+def test_cms_merge_order_invariant():
+    """int64 sum-merge is exact and associative: any blob order and
+    any merge tree produce the identical grid."""
+    from pgstosrt_ray.functions.sketch import cms_merge, cms_of
+    rng = np.random.RandomState(5)
+    grids = [cms_of(rng.randint(0, 1 << 63, size=50).astype(np.uint64),
+                    rng.randint(1, 9, size=50)) for _ in range(5)]
+    blobs = [g.tobytes() for g in grids]
+    a = cms_merge(blobs)
+    b = cms_merge(blobs[::-1])
+    c = cms_merge([cms_merge(blobs[:2]).tobytes(),
+                   cms_merge(blobs[2:]).tobytes()])
+    assert (a == b).all() and (a == c).all()
+
+
+# --------------------------------------------- duplicate-gram coverage
+def test_dup_ngram_coverage_planted(ray_session, tmp_path):
+    """Planted corpus: two docs share one 5-gram, a third is disjoint,
+    a fourth is too short for any gram."""
+    import pyarrow.parquet as pq
+    shared = "alpha beta gamma delta epsilon"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            f"{shared} zeta eta",            # grams incl. shared
+            f"pre1 pre2 {shared}",           # shares exactly `shared`
+            "one two three four five six",   # disjoint
+            "too short",                     # zero grams
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _to_df(webops.q_dup_ngram_coverage(str(tmp_path)))
+    by_id = out.set_index("doc_id")
+    # doc1: tokens=7 -> 3 grams, 1 duplicated; doc2 same shape
+    assert by_id.loc[1, "n_grams"] == 3 and by_id.loc[1, "n_dup"] == 1
+    assert by_id.loc[2, "n_grams"] == 3 and by_id.loc[2, "n_dup"] == 1
+    assert by_id.loc[1, "dup_frac"] == pytest.approx(1 / 3)
+    assert by_id.loc[3, "n_dup"] == 0 and by_id.loc[3, "n_grams"] == 2
+    assert by_id.loc[4, "n_grams"] == 0 and by_id.loc[4, "dup_frac"] == 0.0
+
+
+# ----------------------------------------------------- stratified sample
+def test_stratified_sample_is_exact_md5_rule(ray_session):
+    """Every kept row satisfies bucket(doc_id) < pct(lang), every
+    dropped row violates it — the sample is a pure deterministic
+    filter, so reruns are byte-stable."""
+    import pyarrow.parquet as pq
+    from pgstosrt_ray.functions.text import md5_bucket_of_ids
+    kept = set(_to_df(webops.q_stratified_sample(SF_DIR))["doc_id"])
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    b = md5_bucket_of_ids(docs["doc_id"].to_numpy())
+    pct = docs["lang"].map(webops.STRATA_PCT).fillna(
+        webops.STRATA_DEFAULT_PCT).to_numpy()
+    expect = set(docs["doc_id"][b < pct])
+    assert kept == expect
+
+
+# --------------------------------------------------- pivot cross-checks
+def test_event_type_pivot_row_sums(ray_session, con):
+    """Pivot row sums equal per-user event counts (independent of the
+    crosstab path)."""
+    out = _to_df(webops.q_event_type_pivot(SF_DIR))
+    cols = [f"n_{t}" for t in webops.EVENT_TYPES]
+    totals = con.sql("SELECT user_id, COUNT(*) AS n FROM events "
+                     "GROUP BY user_id").to_df()
+    merged = out.merge(totals, on="user_id", validate="1:1")
+    assert (merged[cols].sum(axis=1) == merged["n"]).all()
+
+
+# ------------------------------------------------------ lang top tokens
+def test_lang_top_tokens_shape(ray_session):
+    out = _to_df(webops.q_lang_top_tokens(SF_DIR))
+    per = out.groupby("lang")
+    assert (per.size() <= 10).all()
+    for _, g in per:
+        g = g.sort_values(["n", "token"], ascending=[False, True])
+        assert (g["n"].to_numpy() == np.sort(g["n"].to_numpy())[::-1]).all()
+
+
+# ------------------------------------------------------ simhash clusters
+def test_simhash_clusters_pairs_share_cluster(ray_session):
+    """Every Hamming-<=3 pair ends up in one cluster, and cluster_id
+    is the component minimum."""
+    from pgstosrt_ray.pipelines import dedupe
+    cl = _to_df(dedupe.simhash_dedup_clusters(SF_DIR))
+    lab = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    pairs = _to_df(dedupe.simhash_near_dup_pairs(SF_DIR))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b]
+        assert lab[a] <= min(a, b)
+    assert (cl["cluster_id"] <= cl["doc_id"]).all()
+
+
+def test_simhash_clusters_forced_distributed_path(ray_session,
+                                                  monkeypatch):
+    """The distributed label-propagation route must agree with the
+    broadcast union-find gate (forced-path equivalence — keeps the
+    join path covered while small corpora ride the broadcast)."""
+    from pgstosrt_ray.pipelines import dedupe
+    a = _to_df(dedupe.simhash_dedup_clusters(SF_DIR))
+    monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    b = _to_df(dedupe.simhash_dedup_clusters(SF_DIR))
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------ window distinct users
+def test_window_distinct_users_bounds(ray_session, con):
+    out = _to_df(webops.q_window_distinct_users(SF_DIR))
+    n_windows = con.sql("SELECT COUNT(DISTINCT date_trunc('hour', ts)) "
+                        "FROM events").fetchone()[0]
+    n_users = con.sql("SELECT COUNT(DISTINCT user_id) "
+                      "FROM events").fetchone()[0]
+    assert len(out) == n_windows
+    assert (out["n_users"] >= 1).all()
+    assert (out["n_users"] <= n_users).all()
