@@ -165,7 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "simhash_clusters", "event_type_pivot", "source_stats",
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
-                 "cms_token_counts"):
+                 "running_total", "cms_token_counts",
+                 "ann_ivf_pq", "pca_project"):
         out[name] = out.pop(name)
     return out
 
@@ -267,6 +268,8 @@ _GOLDEN_COLS = {
     "embedding_near_dup": "doc_a, doc_b, cosine",
     "ann_lsh": "vec_id, sim",
     "ann_ivf": "vec_id, sim",
+    "ann_ivf_pq": "vec_id, adc",
+    "pca_project": ("vec_id, pc0, pc1, pc2, pc3, pc4, pc5, pc6, pc7"),
     "kmeans_clusters": "vec_id, cluster, sim",
     "kmeans_balanced_sample": "vec_id, cluster, sim",
     "rolling_fingerprint": "doc_id, rfp",

@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v8"  # v8: + simhash_clusters + cms_token_counts
+GOLDEN_VERSION = "v9"  # v9: + ann_ivf_pq + pca_project goldens;
+#     v8: + simhash_clusters + cms_token_counts
 #     goldens; v7: + kmeans_balanced_sample golden;
 #     v6: + kmeans_clusters golden; v5: frame_sha is
 #     hex text (DuckDB BLOB->bytearray breaks hash-based value
@@ -368,6 +369,96 @@ def golden_ann_ivf(sf_dir: str, k: int = 50, nprobe: int = 12,
     return _topk_rows(ids[mask], m[mask], qn, k)
 
 
+def golden_ann_ivf_pq(sf_dir: str, k: int = 50, nprobe: int = 12,
+                      n_cells: int = 32, sample: int = 2048,
+                      iters: int = 10, seed: int = 11,
+                      pq_m: int = 8, pq_k: int = 16,
+                      pq_seed: int = 23) -> pa.Table:
+    """Independent IVF-PQ walk: same published spec as
+    similarity.build_ivf_pq_index / ivf_pq_topk (hash-uniform sample,
+    coarse spherical k-means seed 11, per-subspace Euclidean Lloyd's
+    seeds 23+j, ADC = LEFT-FOLD sum of per-subspace LUT gathers,
+    round 6)."""
+    ids, m = _embeddings(sf_dir)
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    order = np.lexsort((ids, h))[:sample]
+    samp = m[order].astype(np.float64).copy()
+    samp /= np.linalg.norm(samp, axis=1, keepdims=True).clip(min=1e-12)
+    # coarse quantizer (identical loop to golden_ann_ivf)
+    rng = np.random.RandomState(seed)
+    cent = samp[rng.choice(len(samp), size=min(n_cells, len(samp)),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(samp @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = samp[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    # per-subspace codebooks
+    dsub = samp.shape[1] // pq_m
+    books = []
+    for j in range(pq_m):
+        sub = samp[:, j * dsub:(j + 1) * dsub]
+        rngj = np.random.RandomState(pq_seed + j)
+        cb = sub[rngj.choice(len(sub), size=min(pq_k, len(sub)),
+                             replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cb)):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.sum(axis=0) / len(members)
+        books.append(cb)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+    cell = np.argmax(mn @ cent.T, axis=1)
+    codes = np.empty((len(mn), pq_m), dtype=np.int64)
+    for j in range(pq_m):
+        sub = mn[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    qn = _ann_query(m.shape[1])
+    probe = set(int(c) for c in np.argsort(-(cent @ qn))[:nprobe])
+    mask = np.isin(cell, sorted(probe))
+    s = np.zeros(int(mask.sum()), dtype=np.float64)
+    for j in range(pq_m):
+        lut = qn[j * dsub:(j + 1) * dsub] @ books[j].T
+        s = s + lut[codes[mask, j]]
+    s = np.round(s, 6)
+    cids = ids[mask]
+    top = np.lexsort((cids, -s))[:k]
+    return pa.table({"vec_id": pa.array(cids[top], pa.int64()),
+                     "adc": pa.array(s[top], pa.float64())})
+
+
+def golden_pca_project(sf_dir: str, n_comp: int = 8,
+                       sample: int = 2048) -> pa.Table:
+    """Independent PCA: hash-uniform sample mean/covariance, eigh,
+    sign fixed by largest-|loading| coordinate, projection round 6 —
+    mirrors similarity.pca_project's published spec."""
+    ids, m = _embeddings(sf_dir)
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    order = np.lexsort((ids, h))[:sample]
+    samp = m[order].astype(np.float64).copy()
+    mean = samp.sum(axis=0) / len(samp)
+    c = samp - mean
+    cov = (c.T @ c) / len(samp)
+    _, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :n_comp].T.copy()
+    for i in range(n_comp):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    p = np.round((m - mean) @ comps.T, 6)
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for i in range(n_comp):
+        cols[f"pc{i}"] = pa.array(p[:, i], pa.float64())
+    return pa.table(cols)
+
+
 def golden_kmeans(sf_dir: str, k: int = 8, sample: int = 2048,
                   iters: int = 10, seed: int = 11) -> pa.Table:
     """Independent spherical k-means: same published spec as
@@ -607,6 +698,8 @@ GOLDEN_BUILDERS = {
     "embedding_near_dup": (golden_embedding_near_dup, "sf"),
     "ann_lsh": (golden_ann_lsh, "sf"),
     "ann_ivf": (golden_ann_ivf, "sf"),
+    "ann_ivf_pq": (golden_ann_ivf_pq, "sf"),
+    "pca_project": (golden_pca_project, "sf"),
     "kmeans_clusters": (golden_kmeans, "sf"),
     "kmeans_balanced_sample": (golden_kmeans_sample, "sf"),
     "rolling_fingerprint": (golden_rolling_fingerprint, "sf"),

@@ -473,13 +473,189 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = 12,
     return _topk_of(probe_fn(cells), qn, k)
 
 
+# ------------------------------------------------------------- IVF-PQ
+# Product quantization on top of the IVF coarse index — the honest
+# 1e12-row ANN memory path: a 64-dim float64 vector (512 B) compresses
+# to PQ_M one-byte codes (8 B), so the scanned cells stream codes, not
+# vectors. Scoring is asymmetric distance computation (ADC): the query
+# builds one (M x K) inner-product lookup table and every candidate
+# scores with M table gathers + a LEFT-FOLD sum (the fold order is part
+# of the determinism contract with golden.golden_ann_ivf_pq —
+# elementwise float addition in subspace order, bit-identical on any
+# engine). Jegou, Douze & Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011.
+PQ_M = 8            # subspaces (64 dims -> 8 dims each)
+PQ_K = 16           # 4-bit codebooks
+PQ_SEED = 23
+PQ_ITERS = 10
+
+_IVF_PQ_INDEX_CACHE: dict = {}
+
+
+def _fit_pq_codebooks(samp: np.ndarray, m_sub: int = PQ_M,
+                      k: int = PQ_K, iters: int = PQ_ITERS,
+                      seed: int = PQ_SEED) -> np.ndarray:
+    """(M, K, d/M) Euclidean Lloyd's per subspace over the unit-norm
+    sample. Deterministic: seeded init per subspace, argmin ties to
+    the lowest index, mean = sum/len (one division)."""
+    d = samp.shape[1]
+    dsub = d // m_sub
+    books = np.empty((m_sub, k, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        sub = samp[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        cent = sub[rng.choice(len(sub), size=min(k, len(sub)),
+                              replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.sum(axis=0) / len(members)
+        books[j] = cent
+    return books
+
+
+def _pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) unit-norm vectors -> (n, M) uint8 codes (per-subspace
+    nearest codeword, same distance expression as the fit)."""
+    m_sub, _, dsub = books.shape
+    codes = np.empty((len(x), m_sub), dtype=np.uint8)
+    for j in range(m_sub):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def build_ivf_pq_index(sf_dir: str, n_cells: int = 32,
+                       sample: int = 2048, iters: int = 10,
+                       seed: int = 11):
+    """Coarse centroids + PQ codebooks fit on the SAME driver-side
+    hash-uniform sample as build_ivf_index (training cost independent
+    of corpus size), then ONE distributed pass cell-tags and
+    PQ-encodes every vector. The materialized index holds (vec_id,
+    cell, 8-byte code) — at 1e12 rows that is the only thing a scan
+    ever touches; raw embeddings stay in cold storage for an optional
+    exact re-rank of the final candidates."""
+    import ray.data
+    key = (sf_dir, n_cells, seed, _data_fingerprint(sf_dir))
+    if key in _IVF_PQ_INDEX_CACHE:
+        return _IVF_PQ_INDEX_CACHE[key]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    samp = _hash_sample_pandas(ds, sample)
+    m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+    cent = _fit_spherical_kmeans(m, n_cells, iters, seed)
+    books = _fit_pq_codebooks(m)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+        codes = _pq_encode(x, books)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"],
+            "cell": np.argmax(x @ cent.T, axis=1).astype(np.int64),
+            "code": [c.tobytes() for c in codes],
+        })
+
+    mat = ds.map_batches(encode, batch_format="pandas",
+                         batch_size=4096).materialize()
+    _IVF_PQ_INDEX_CACHE[key] = (cent, books, _isin_probe(mat, "cell"))
+    return _IVF_PQ_INDEX_CACHE[key]
+
+
+def ivf_pq_topk(sf_dir: str, k: int = TOP_K, nprobe: int = 12,
+                n_cells: int = 32) -> pa.Table:
+    """IVF-PQ approximate top-k: probe the ``nprobe`` nearest cells,
+    score candidates by ADC over their 8-byte codes (one LUT gather
+    per subspace, left-fold sum), merge partial top-ks in-cluster.
+    Output (vec_id, adc) — the ADC inner-product estimate rounded to
+    6 dp; value-checked against golden.golden_ann_ivf_pq."""
+    q = _load_query(sf_dir)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cent, books, probe_fn = build_ivf_pq_index(sf_dir, n_cells=n_cells)
+    dsub = books.shape[2]
+    luts = np.stack([qn[j * dsub:(j + 1) * dsub] @ books[j].T
+                     for j in range(books.shape[0])])  # (M, K)
+    cells = set(int(c)
+                for c in np.argsort(-(cent @ qn))[:nprobe])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "adc": pd.Series([], dtype="float64")})
+        codes = np.frombuffer(b"".join(df["code"]),
+                              dtype=np.uint8).reshape(len(df), -1)
+        s = np.zeros(len(df), dtype=np.float64)
+        for j in range(codes.shape[1]):   # left fold: determinism spec
+            s = s + luts[j][codes[:, j]]
+        s = np.round(s, 6)
+        order = np.lexsort((df["vec_id"].to_numpy(), -s))[:k]
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[order],
+                             "adc": s[order]})
+
+    partials = probe_fn(cells).map_batches(score, batch_format="pandas")
+    top = agg_topk(partials, ["adc", "vec_id"], [False, True],
+                   k=k).to_pandas()
+    return pa.table({"vec_id": pa.array(top["vec_id"].tolist(),
+                                        pa.int64()),
+                     "adc": pa.array(top["adc"].tolist(), pa.float64())})
+
+
+# ----------------------------------------------------------------- PCA
+PCA_COMPONENTS = 8
+PCA_SAMPLE = 2048
+
+
+def pca_project(sf_dir: str, n_comp: int = PCA_COMPONENTS,
+                sample: int = PCA_SAMPLE):
+    """Linear dimensionality reduction for the embedding table: mean +
+    covariance fit on the driver-side hash-uniform sample (fitting
+    cost independent of corpus size, exactly like the k-means/IVF
+    trainers), eigh on the (d x d) covariance, then ONE distributed
+    projection pass. Component signs are fixed deterministically
+    (largest-|loading| coordinate made positive) so the output is
+    reproducible across runs and engines; projections round to 6 dp.
+    Output (vec_id, pc0..pc{n_comp-1})."""
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    samp = _hash_sample_pandas(ds, sample)
+    m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    mean = m.sum(axis=0) / len(m)
+    c = m - mean
+    cov = (c.T @ c) / len(m)
+    _, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :n_comp].T.copy()   # (n_comp, d)
+    for i in range(n_comp):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        p = np.round((x - mean) @ comps.T, 6)
+        out = {"vec_id": df["vec_id"]}
+        for i in range(n_comp):
+            out[f"pc{i}"] = p[:, i]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(project, batch_format="pandas",
+                          batch_size=4096)
+
+
 QUERIES = {
     "ann_brute_force": brute_force_topk,
     "ann_brute_multi": brute_force_topk_multi,
     "ann_lsh": lsh_topk,
     "ann_ivf": ivf_topk,
+    "ann_ivf_pq": ivf_pq_topk,
     "kmeans_clusters": kmeans_clusters,
     "kmeans_balanced_sample": kmeans_balanced_sample,
+    "pca_project": pca_project,
 }
 
 

@@ -306,6 +306,43 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- per-key running total (cumulative window) ---------------------------
+def q_running_total(sf_dir: str):
+    """Per-user cumulative value over event-time order — the
+    SUM(...) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING) shape. Shuffled once on hash(user)%B with data-sized B
+    (relational._by_key_bucketed); the in-bucket work is one sort +
+    one grouped cumsum, fully vectorized. Values ride as exact
+    milli-units (int64) so the running sum is bit-identical on any
+    engine and any bucket count."""
+    from .relational import _by_key_bucketed
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
+        milli = (g["value"] * 1000.0).round().astype("int64")
+        g["cum_value_milli"] = milli.groupby(
+            g["user_id"], sort=False).cumsum()
+        return g[["event_id", "user_id", "ts", "cum_value_milli"]]
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("cum_value_milli", pa.int64())])
+    return _by_key_bucketed(ds, "user_id", cum, out_schema=schema,
+                            est_bytes=_table_bytes(sf_dir, "events"))
+
+
+SQL_RUNNING_TOTAL = (
+    "SELECT event_id, user_id, ts, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_value_milli FROM events")
+
+
 # --- count-min token-frequency sketch ------------------------------------
 # Probe tokens are a fixed contract (the "which phrases are exploding"
 # monitoring query); 'quantum' is deliberately absent from the corpus
@@ -351,6 +388,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "window_distinct_users": q_window_distinct_users,
     "dup_ngram_coverage": q_dup_ngram_coverage,
+    "running_total": q_running_total,
     "cms_token_counts": q_cms_token_counts,
 }
 
@@ -361,5 +399,6 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE,
+    "running_total": SQL_RUNNING_TOTAL,
     # cms_token_counts: golden oracle wired in __ray_entry__.py
 }

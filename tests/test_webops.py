@@ -177,6 +177,39 @@ def test_simhash_clusters_forced_distributed_path(ray_session,
     pd.testing.assert_frame_equal(a, b)
 
 
+# --------------------------------------------------------------- IVF-PQ
+def test_ivf_pq_recall_and_code_size(ray_session):
+    """ADC top-k over 8-byte codes still finds a solid share of the
+    exact top-50 (deterministic pin: 0.54 on this fixture — random
+    uniform embeddings are PQ's worst case), and the index stores
+    exactly PQ_M bytes per vector (the 64x compression that makes the
+    1e12-row scan feasible)."""
+    from pgstosrt_ray.pipelines import similarity
+    exact = set(similarity.brute_force_topk(SF_DIR)
+                .column("vec_id").to_pylist())
+    pq = set(similarity.ivf_pq_topk(SF_DIR).column("vec_id").to_pylist())
+    assert len(exact & pq) / len(exact) >= 0.3
+    _, books, probe_fn = similarity.build_ivf_pq_index(SF_DIR)
+    assert books.shape == (similarity.PQ_M, similarity.PQ_K,
+                           64 // similarity.PQ_M)
+    sample = _to_df(probe_fn({0}))
+    assert (sample["code"].map(len) == similarity.PQ_M).all()
+
+
+def test_pca_project_variance_ordering(ray_session):
+    """Leading components carry more variance (computed on the FULL
+    table, components fit on the sample — a real spectrum gap
+    survives the sample/population difference)."""
+    from pgstosrt_ray.pipelines import similarity
+    out = _to_df(similarity.pca_project(SF_DIR))
+    v = [out[f"pc{i}"].var() for i in range(similarity.PCA_COMPONENTS)]
+    assert v[0] >= v[-1]
+    assert len(out) == 500
+    # deterministic across runs (seeded sample, fixed sign rule)
+    again = _to_df(similarity.pca_project(SF_DIR))
+    pd.testing.assert_frame_equal(out, again)
+
+
 # ------------------------------------------------ window distinct users
 def test_window_distinct_users_bounds(ray_session, con):
     out = _to_df(webops.q_window_distinct_users(SF_DIR))
