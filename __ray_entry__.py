@@ -98,6 +98,11 @@ def _media_frame_sample(sf_dir: str):
     return media_frame_sample(read_pages(_corpus_for(sf_dir)))
 
 
+def _url_section_stats(sf_dir: str):
+    from pgstosrt_ray.pipelines.webops import url_section_stats
+    return url_section_stats(_corpus_for(sf_dir))
+
+
 def _lang_id(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -157,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(similarity.QUERIES)
     out.update(extended.QUERIES)
     out.update(webops.QUERIES)
+    out["url_section_stats"] = _url_section_stats
     # round-4 additions re-insert at the TAIL regardless of module, so
     # a count-capped driver run keeps earlier rounds' recorded coverage
     for name in ("repetition_scores", "decontaminate", "redact_pii",
@@ -165,8 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "simhash_clusters", "event_type_pivot", "source_stats",
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
-                 "running_total", "cms_token_counts",
-                 "ann_ivf_pq", "pca_project"):
+                 "running_total", "grouped_p90", "cms_token_counts",
+                 "ann_ivf_pq", "pca_project", "url_section_stats"):
         out[name] = out.pop(name)
     return out
 
@@ -245,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
     out["demux_cues"] = ("SELECT * FROM "
                          f"read_parquet('{corpus}/golden_cues.parquet')")
     out["media_features"] = _media_features_sql(corpus)
+    from pgstosrt_ray.pipelines.webops import sql_url_section_stats
+    out["url_section_stats"] = sql_url_section_stats(corpus)
     # round-3: the signature/sketch/approximate queries are value-
     # checked against golden parquet computed by the INDEPENDENT
     # single-threaded oracle (pgstosrt_ray/golden.py — fresh

@@ -18,7 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reduce import agg_fold_blobs, agg_group_topk, bucketed_group_agg, input_bytes
+from .reduce import (agg_fold_blobs, agg_group_topk, bucketed_group_agg,
+                     input_bytes, materialize_nonempty)
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw):
@@ -78,10 +79,14 @@ def q_source_stats(sf_dir: str):
         return df.groupby("source", as_index=False).agg(
             n_docs=("n_chars", "count"), total_chars=("n_chars", "sum"))
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("source")
-           .aggregate(Sum(on="n_docs", alias_name="n_docs"),
-                      Sum(on="total_chars", alias_name="total_chars")))
+    # Ray's hash aggregate emits schemaless EMPTY partitions that
+    # map_batches passes through unconverted => scrub before the
+    # driver-facing cast (reduce.materialize_nonempty, refs only)
+    agg = materialize_nonempty(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum(on="n_docs", alias_name="n_docs"),
+                   Sum(on="total_chars", alias_name="total_chars")))
 
     def finish(t: pa.Table) -> pa.Table:
         n = t.column("n_docs").to_numpy().astype(np.int64)
@@ -346,6 +351,113 @@ SQL_RUNNING_TOTAL = (
     "AS cum_value_milli FROM events")
 
 
+# --- exact per-group p90 (discrete) --------------------------------------
+# Same scale shape as relational.q_grouped_median: per-batch
+# (group, cents) histogram partials, bucketed cell merge, per-group
+# rank walk IN the cluster. The rank rule is self-specified —
+# value at 1-based rank ceil(0.9 * n) within the cents ordering —
+# and shared verbatim with the ROW_NUMBER SQL oracle (DuckDB's
+# quantile_disc rank rule is not documented bit-exactly, so the
+# contract pins its own).
+P90_Q = 0.9
+
+
+def q_grouped_p90(sf_dir: str):
+    from .relational import _cents
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "cents": _cents(t.column("l_extendedprice")),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return (pa.TableGroupBy(t2, ["l_returnflag", "cents"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["l_returnflag", "cents", "n"]))
+
+    hist_ds = bucketed_group_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["l_returnflag", "cents"],
+        lambda g: g.groupby(["l_returnflag", "cents"],
+                            as_index=False)["n"].sum())
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        rank = int(np.ceil(P90_Q * int(cum[-1])))
+        v = int(vals[np.searchsorted(cum, rank)])
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "p90_cents": np.array([v], np.int64)})
+
+    return hist_ds.groupby("l_returnflag").map_groups(
+        walk, batch_format="pandas")
+
+
+SQL_GROUPED_P90 = f"""
+WITH t AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+    AS cents FROM lineitem),
+r AS (
+  SELECT l_returnflag, cents,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM t)
+SELECT l_returnflag, cents AS p90_cents FROM r
+WHERE rn = CAST(CEIL({P90_Q} * n) AS BIGINT)
+"""
+
+
+# --- per-section crawl stats over the pages corpus -----------------------
+# The "which part of the crawl is heavy" report: pages grouped by the
+# second URL path segment. The regex is shared VERBATIM with the
+# DuckDB RE2 oracle (subset syntax where Python re and RE2 agree).
+URL_SECTION_RE = r"^https?://[^/]+/[^/]+/([^/]+)/"
+
+
+def url_section_stats(corpus: str):
+    """(section, n_pages, total_bytes) over the page corpus — section
+    domain is the URL layout's case-family set (fixed small), so
+    per-batch partials reduce through Ray's hash aggregate directly;
+    blob bytes are measured, never moved."""
+    from ray.data.aggregate import Sum
+    from ..sources.pages import read_pages
+    ds = read_pages(corpus, columns=["url", "html"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = (df["url"].str.extract(URL_SECTION_RE, expand=False)
+               .fillna(""))
+        size = df["html"].str.len().astype("int64")
+        out = (pd.DataFrame({"section": sec, "b": size})
+               .groupby("section", as_index=False)
+               .agg(n_pages=("b", "count"), total_bytes=("b", "sum")))
+        return out
+
+    # scrub the hash aggregate's schemaless empty partitions (same
+    # driver-facing hygiene as source_stats)
+    agg = materialize_nonempty(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("section")
+        .aggregate(Sum(on="n_pages", alias_name="n_pages"),
+                   Sum(on="total_bytes", alias_name="total_bytes")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "section": t.column("section"),
+            "n_pages": t.column("n_pages").cast(pa.int64()),
+            "total_bytes": t.column("total_bytes").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_url_section_stats(corpus: str) -> str:
+    return (
+        "SELECT COALESCE(regexp_extract(url, "
+        f"'{URL_SECTION_RE}', 1), '') AS section, "
+        "COUNT(*) AS n_pages, "
+        "CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes "
+        f"FROM read_parquet('{corpus}/pages/*.parquet') "
+        "GROUP BY 1")
+
+
 # --- count-min token-frequency sketch ------------------------------------
 # Probe tokens are a fixed contract (the "which phrases are exploding"
 # monitoring query); 'quantum' is deliberately absent from the corpus
@@ -392,7 +504,10 @@ QUERIES = {
     "window_distinct_users": q_window_distinct_users,
     "dup_ngram_coverage": q_dup_ngram_coverage,
     "running_total": q_running_total,
+    "grouped_p90": q_grouped_p90,
     "cms_token_counts": q_cms_token_counts,
+    # url_section_stats runs over the page corpus; wired through
+    # __ray_entry__ (corpus resolution) like media_features
 }
 
 ORACLE_SQL = {
@@ -403,5 +518,6 @@ ORACLE_SQL = {
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE,
     "running_total": SQL_RUNNING_TOTAL,
+    "grouped_p90": SQL_GROUPED_P90,
     # cms_token_counts: golden oracle wired in __ray_entry__.py
 }

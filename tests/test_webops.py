@@ -177,6 +177,21 @@ def test_simhash_clusters_forced_distributed_path(ray_session,
     pd.testing.assert_frame_equal(a, b)
 
 
+# --------------------------------------------- per-section crawl stats
+def test_url_section_stats_matches_oracle(ray_session):
+    """Corpus-table query: both engines over the SAME materialized
+    page corpus (the driver compares at the sf0.01 corpus the same
+    way)."""
+    from pgstosrt_ray.sources.pages import materialize_corpus
+    corpus = materialize_corpus("t1", 60, seed=42)
+    a = _to_df(webops.url_section_stats(corpus))
+    con2 = duckdb.connect()
+    b = _to_df(pa.Table.from_pandas(
+        con2.sql(webops.sql_url_section_stats(corpus)).to_df()))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["n_pages"].sum() > 0
+
+
 # --------------------------------------------------------------- IVF-PQ
 def test_ivf_pq_recall_and_code_size(ray_session):
     """ADC top-k over 8-byte codes still finds a solid share of the
