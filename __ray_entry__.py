@@ -172,7 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
                  "running_total", "grouped_p90", "cms_token_counts",
-                 "ann_ivf_pq", "pca_project", "url_section_stats"):
+                 "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
+                 "url_section_stats"):
         out[name] = out.pop(name)
     return out
 
@@ -277,6 +278,7 @@ _GOLDEN_COLS = {
     "ann_lsh": "vec_id, sim",
     "ann_ivf": "vec_id, sim",
     "ann_ivf_pq": "vec_id, adc",
+    "ann_ivf_pq_rerank": "vec_id, sim",
     "pca_project": ("vec_id, pc0, pc1, pc2, pc3, pc4, pc5, pc6, pc7"),
     "kmeans_clusters": "vec_id, cluster, sim",
     "kmeans_balanced_sample": "vec_id, cluster, sim",

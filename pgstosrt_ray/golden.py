@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v9"  # v9: + ann_ivf_pq + pca_project goldens;
+GOLDEN_VERSION = "v10"  # v10: + ann_ivf_pq_rerank golden;
+#     v9: + ann_ivf_pq + pca_project goldens;
 #     v8: + simhash_clusters + cms_token_counts
 #     goldens; v7: + kmeans_balanced_sample golden;
 #     v6: + kmeans_clusters golden; v5: frame_sha is
@@ -433,6 +434,18 @@ def golden_ann_ivf_pq(sf_dir: str, k: int = 50, nprobe: int = 12,
                      "adc": pa.array(s[top], pa.float64())})
 
 
+def golden_ann_ivf_pq_rerank(sf_dir: str, k: int = 50,
+                             n_cand: int = 200) -> pa.Table:
+    """Two-stage mirror: ADC top-``n_cand`` candidates from
+    golden_ann_ivf_pq, then exact cosine re-rank (round 6, vec_id
+    tiebreak) — same spec as similarity.ivf_pq_rerank_topk."""
+    cand = set(golden_ann_ivf_pq(sf_dir, k=n_cand)
+               .column("vec_id").to_pylist())
+    ids, m = _embeddings(sf_dir)
+    mask = np.isin(ids, sorted(cand))
+    return _topk_rows(ids[mask], m[mask], _ann_query(m.shape[1]), k)
+
+
 def golden_pca_project(sf_dir: str, n_comp: int = 8,
                        sample: int = 2048) -> pa.Table:
     """Independent PCA: hash-uniform sample mean/covariance, eigh,
@@ -699,6 +712,7 @@ GOLDEN_BUILDERS = {
     "ann_lsh": (golden_ann_lsh, "sf"),
     "ann_ivf": (golden_ann_ivf, "sf"),
     "ann_ivf_pq": (golden_ann_ivf_pq, "sf"),
+    "ann_ivf_pq_rerank": (golden_ann_ivf_pq_rerank, "sf"),
     "pca_project": (golden_pca_project, "sf"),
     "kmeans_clusters": (golden_kmeans, "sf"),
     "kmeans_balanced_sample": (golden_kmeans_sample, "sf"),

@@ -605,6 +605,38 @@ def ivf_pq_topk(sf_dir: str, k: int = TOP_K, nprobe: int = 12,
                      "adc": pa.array(top["adc"].tolist(), pa.float64())})
 
 
+RERANK_CAND = 200
+
+
+def ivf_pq_rerank_topk(sf_dir: str, k: int = TOP_K,
+                       n_cand: int = RERANK_CAND, nprobe: int = 12,
+                       n_cells: int = 32) -> pa.Table:
+    """The production two-stage ANN: stage 1 scans ONLY 8-byte PQ
+    codes in the probed cells and folds an ADC top-``n_cand``
+    candidate list in-cluster; stage 2 broadcasts those ids (tiny),
+    prunes the raw-embedding read down to the candidates, and
+    re-scores them with EXACT cosine — full-precision vectors are
+    touched for ``n_cand`` rows total, never for the corpus. Output
+    (vec_id, sim) like the brute-force baseline; value-checked
+    against golden.golden_ann_ivf_pq_rerank."""
+    import pyarrow.compute as pc
+    import ray.data
+    q = _load_query(sf_dir)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cand = ivf_pq_topk(sf_dir, k=n_cand, nprobe=nprobe,
+                       n_cells=n_cells)
+    ids = pa.array(sorted(cand.column("vec_id").to_pylist()),
+                   pa.int64())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=ids))
+
+    return _topk_of(ds.map_batches(keep, batch_format="pyarrow"),
+                    qn, k)
+
+
 # ----------------------------------------------------------------- PCA
 PCA_COMPONENTS = 8
 PCA_SAMPLE = 2048
@@ -653,6 +685,7 @@ QUERIES = {
     "ann_lsh": lsh_topk,
     "ann_ivf": ivf_topk,
     "ann_ivf_pq": ivf_pq_topk,
+    "ann_ivf_pq_rerank": ivf_pq_rerank_topk,
     "kmeans_clusters": kmeans_clusters,
     "kmeans_balanced_sample": kmeans_balanced_sample,
     "pca_project": pca_project,

@@ -46,6 +46,31 @@ def test_exact_dedup_keep_at_2x(ray_session, big_dir):
     assert max(out.column("doc_id").to_pylist()) < 1_000_000
 
 
+def test_dup_ngram_coverage_at_2x(ray_session, big_dir):
+    from pgstosrt_ray.pipelines.webops import q_dup_ngram_coverage
+    d, both = big_dir
+    out = _rows(q_dup_ngram_coverage(d)).to_pandas()
+    # every text appears exactly twice => every doc with >=1 gram has
+    # ALL its grams duplicated (dup_frac == 1.0), and every doc rows
+    assert len(out) == len(both)
+    has = out[out["n_grams"] > 0]
+    assert len(has) > 0
+    assert (has["dup_frac"] == 1.0).all()
+
+
+def test_simhash_clusters_at_2x(ray_session, big_dir):
+    from pgstosrt_ray.pipelines.dedupe import simhash_dedup_clusters
+    d, both = big_dir
+    cl = _rows(simhash_dedup_clusters(d)).to_pandas()
+    lab = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    # identical texts have identical simhashes => each doc's +1M twin
+    # must land in its cluster, labelled by the component minimum
+    assert len(lab) == len(both)
+    low = [i for i in lab if i < 1_000_000]
+    assert low and all(lab[i] == lab[i + 1_000_000] for i in low)
+    assert all(lab[i] <= i for i in low)
+
+
 def test_minhash_dedup_keep_at_2x(ray_session, big_dir):
     from pgstosrt_ray.pipelines.dedupe import minhash_dedup_keep
     d, both = big_dir
