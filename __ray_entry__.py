@@ -171,7 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "simhash_clusters", "event_type_pivot", "source_stats",
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
-                 "running_total", "grouped_p90", "cms_token_counts",
+                 "running_total", "grouped_p90", "window_funnel",
+                 "bm25_search", "cms_token_counts",
                  "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
                  "url_section_stats"):
         out[name] = out.pop(name)
@@ -273,6 +274,7 @@ _GOLDEN_COLS = {
     "simhash_pairs": "doc_a, doc_b, hamming",
     "simhash_clusters": "doc_id, cluster_id",
     "cms_token_counts": "token, est_n",
+    "bm25_search": "doc_id, score",
     "ngram_jaccard_pairs": "doc_a, doc_b, jaccard3",
     "embedding_near_dup": "doc_a, doc_b, cosine",
     "ann_lsh": "vec_id, sim",

@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v10"  # v10: + ann_ivf_pq_rerank golden;
+GOLDEN_VERSION = "v11"  # v11: + bm25_search golden;
+#     v10: + ann_ivf_pq_rerank golden;
 #     v9: + ann_ivf_pq + pca_project goldens;
 #     v8: + simhash_clusters + cms_token_counts
 #     goldens; v7: + kmeans_balanced_sample golden;
@@ -600,6 +601,39 @@ def golden_cms_token_counts(sf_dir: str) -> pa.Table:
                      "est_n": pa.array(ests, pa.int64())})
 
 
+# ------------------------------------------------------------------ BM25
+def golden_bm25_search(sf_dir: str, k: int = 20) -> pa.Table:
+    """Independent Okapi BM25 (Lucene idf) walk: same published spec
+    as webops.q_bm25_search (terms, k1=1.2, b=0.75, \\S+ tokens,
+    LEFT-FOLD term accumulation, round 6, score>0, (score desc,
+    doc_id) top-k)."""
+    import re as _re
+    terms = ("data", "table", "window")
+    k1, b = 1.2, 0.75
+    ids, texts = _docs(sf_dir)
+    toks = [_re.findall(r"\S+", t) for t in texts]
+    n = len(ids)
+    dl = np.array([len(t) for t in toks], dtype=np.int64)
+    avgdl = np.float64(int(dl.sum())) / np.float64(max(n, 1))
+    df = np.array([sum(1 for t in toks if term in t)
+                   for term in terms], dtype=np.int64)
+    idf = np.log((n - df.astype(np.float64) + 0.5)
+                 / (df.astype(np.float64) + 0.5) + 1.0)
+    dlf = dl.astype(np.float64)
+    norm = k1 * (1.0 - b + b * dlf / avgdl)
+    s = np.zeros(n, dtype=np.float64)
+    for i, term in enumerate(terms):
+        tf = np.array([t.count(term) for t in toks], dtype=np.float64)
+        s = s + idf[i] * (tf * (k1 + 1.0)) / (tf + norm)
+    s = np.round(s, 6)
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    keep = s > 0
+    cids, cs = ids_arr[keep], s[keep]
+    top = np.lexsort((cids, -cs))[:k]
+    return pa.table({"doc_id": pa.array(cids[top], pa.int64()),
+                     "score": pa.array(cs[top], pa.float64())})
+
+
 # ----------------------------------------------- log-histogram quantiles
 def golden_approx_quantiles(sf_dir: str) -> pa.Table:
     """Independent re-computation of the log-histogram quantile sketch
@@ -707,6 +741,7 @@ GOLDEN_BUILDERS = {
     "simhash_pairs": (golden_simhash_pairs, "sf"),
     "simhash_clusters": (golden_simhash_clusters, "sf"),
     "cms_token_counts": (golden_cms_token_counts, "sf"),
+    "bm25_search": (golden_bm25_search, "sf"),
     "ngram_jaccard_pairs": (golden_ngram_jaccard_pairs, "sf"),
     "embedding_near_dup": (golden_embedding_near_dup, "sf"),
     "ann_lsh": (golden_ann_lsh, "sf"),

@@ -458,6 +458,133 @@ def sql_url_section_stats(corpus: str) -> str:
         "GROUP BY 1")
 
 
+# --- ordered-event funnel (windowFunnel shape) ---------------------------
+# Per-user funnel depth over the strict event order view -> click ->
+# purchase, with the whole sequence constrained to FUNNEL_WINDOW_US of
+# the first view (the ClickHouse windowFunnel contract: each later
+# stage strictly after the previous stage's first occurrence and
+# within the window anchored at stage 1). One bucketed shuffle on
+# hash(user); the in-bucket work is three masked grouped mins —
+# vectorized, no per-user Python.
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_window_funnel(sf_dir: str):
+    from .relational import _by_key_bucketed
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    win = pd.Timedelta(microseconds=FUNNEL_WINDOW_US)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g.loc[g["event_type"] == FUNNEL_STAGES[0]]
+              .groupby("user_id")["ts"].min())
+        r1 = g["user_id"].map(t1)
+        deadline = r1 + win
+        t2 = (g.loc[(g["event_type"] == FUNNEL_STAGES[1])
+                    & (g["ts"] > r1) & (g["ts"] <= deadline)]
+              .groupby("user_id")["ts"].min())
+        r2 = g["user_id"].map(t2)
+        t3 = (g.loc[(g["event_type"] == FUNNEL_STAGES[2])
+                    & (g["ts"] > r2) & (g["ts"] <= deadline)]
+              .groupby("user_id")["ts"].min())
+        users = pd.Index(g["user_id"].unique(), name="user_id")
+        depth = (users.isin(t1.index).astype("int64")
+                 + users.isin(t2.index).astype("int64")
+                 + users.isin(t3.index).astype("int64"))
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "funnel_depth": depth})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("funnel_depth", pa.int64())])
+    return _by_key_bucketed(ds, "user_id", funnel, out_schema=schema,
+                            est_bytes=_table_bytes(sf_dir, "events"))
+
+
+SQL_WINDOW_FUNNEL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts > t1
+    AND ts <= t1 + INTERVAL '{FUNNEL_WINDOW_US}' MICROSECONDS
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id) JOIN v USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND e.ts > t2
+    AND e.ts <= t1 + INTERVAL '{FUNNEL_WINDOW_US}' MICROSECONDS
+  GROUP BY e.user_id)
+SELECT u.user_id,
+  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+# --- BM25 ranked retrieval ------------------------------------------------
+# Okapi BM25 (Lucene idf variant) for a fixed query-term contract over
+# the documents table. Scale shape: corpus stats (N, total length, one
+# df per query term) fold to a SINGLE int64 blob in-cluster; the blob
+# broadcasts into a map-only scoring pass; the top-k folds through
+# agg_topk. Nothing corpus-sized shuffles and the driver sees k rows.
+# The float formula (term fold order included) is the determinism
+# contract with golden.golden_bm25_search.
+BM25_TERMS = ("data", "table", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 20
+
+
+def q_bm25_search(sf_dir: str, k: int = BM25_K):
+    from .reduce import agg_topk
+    from ..functions.text import TOKEN_RE
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nt = len(BM25_TERMS)
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(TOKEN_RE)
+        arr = np.zeros(2 + nt, dtype=np.int64)
+        arr[0] = len(df)
+        arr[1] = int(toks.map(len).sum())
+        for i, term in enumerate(BM25_TERMS):
+            arr[2 + i] = int(toks.map(lambda t: term in t).sum())
+        return pa.table({"s": pa.array([arr.tobytes()], pa.binary())})
+
+    def merge(blobs) -> bytes:
+        out = np.zeros(2 + nt, dtype=np.int64)
+        for b in blobs:
+            out += np.frombuffer(b, dtype=np.int64)
+        return out.tobytes()
+
+    st = np.frombuffer(
+        agg_fold_blobs(ds.map_batches(stats, batch_format="pandas"),
+                       "s", merge), dtype=np.int64)
+    n_docs, total_len = int(st[0]), int(st[1])
+    avgdl = np.float64(total_len) / np.float64(max(n_docs, 1))
+    idf = np.log((n_docs - st[2:].astype(np.float64) + 0.5)
+                 / (st[2:].astype(np.float64) + 0.5) + 1.0)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(TOKEN_RE)
+        dl = toks.map(len).to_numpy(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        s = np.zeros(len(df), dtype=np.float64)
+        for i, term in enumerate(BM25_TERMS):  # left fold: determinism
+            tf = toks.map(lambda t: t.count(term)).to_numpy(np.float64)
+            s = s + idf[i] * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+        s = np.round(s, 6)
+        keep = s > 0
+        return pd.DataFrame({"doc_id": df["doc_id"][keep],
+                             "score": s[keep]})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = agg_topk(scored, ["score", "doc_id"], [False, True], k=k)
+    return top.select(["doc_id", "score"])
+
+
 # --- count-min token-frequency sketch ------------------------------------
 # Probe tokens are a fixed contract (the "which phrases are exploding"
 # monitoring query); 'quantum' is deliberately absent from the corpus
@@ -505,6 +632,8 @@ QUERIES = {
     "dup_ngram_coverage": q_dup_ngram_coverage,
     "running_total": q_running_total,
     "grouped_p90": q_grouped_p90,
+    "window_funnel": q_window_funnel,
+    "bm25_search": q_bm25_search,
     "cms_token_counts": q_cms_token_counts,
     # url_section_stats runs over the page corpus; wired through
     # __ray_entry__ (corpus resolution) like media_features
@@ -519,5 +648,7 @@ ORACLE_SQL = {
     "dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE,
     "running_total": SQL_RUNNING_TOTAL,
     "grouped_p90": SQL_GROUPED_P90,
-    # cms_token_counts: golden oracle wired in __ray_entry__.py
+    "window_funnel": SQL_WINDOW_FUNNEL,
+    # cms_token_counts / bm25_search: golden oracles wired in
+    # __ray_entry__.py
 }

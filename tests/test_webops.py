@@ -240,6 +240,58 @@ def test_pca_project_variance_ordering(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+# ----------------------------------------------------- window funnel
+def test_window_funnel_planted(ray_session, tmp_path):
+    """Hand-built sequences covering every depth: the strict-order
+    and the 1-hour-window rules both bind."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        # u1: full funnel inside the window -> 3
+        (1, t0, "view"), (1, t0 + 5 * m, "click"),
+        (1, t0 + 10 * m, "purchase"),
+        # u2: purchase BEFORE click -> stops at 2
+        (2, t0, "view"), (2, t0 + 2 * m, "purchase"),
+        (2, t0 + 5 * m, "click"),
+        # u3: click outside the 1h window -> 1
+        (3, t0, "view"), (3, t0 + 90 * m, "click"),
+        (3, t0 + 95 * m, "purchase"),
+        # u4: never views -> 0
+        (4, t0, "click"), (4, t0 + 1 * m, "purchase"),
+        # u5: purchase at t1+70min (outside window anchored at view) -> 2
+        (5, t0, "view"), (5, t0 + 30 * m, "click"),
+        (5, t0 + 70 * m, "purchase"),
+    ]
+    events = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    out = _to_df(webops.q_window_funnel(str(tmp_path)))
+    depth = dict(zip(out["user_id"], out["funnel_depth"]))
+    assert depth == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
+
+
+# --------------------------------------------------------------- BM25
+def test_bm25_search_ranks_term_rich_docs(ray_session):
+    """Scores are positive, sorted descending with the doc_id
+    tiebreak, and every returned doc actually contains a query
+    term."""
+    import pyarrow.parquet as pq
+    out = _to_df(webops.q_bm25_search(SF_DIR)).sort_values(
+        ["score", "doc_id"], ascending=[False, True],
+        ignore_index=True)
+    assert (out["score"] > 0).all() and len(out) == webops.BM25_K
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for d in out["doc_id"]:
+        assert any(t in texts[d].split() for t in webops.BM25_TERMS)
+
+
 # ------------------------------------------------ window distinct users
 def test_window_distinct_users_bounds(ray_session, con):
     out = _to_df(webops.q_window_distinct_users(SF_DIR))
