@@ -141,6 +141,8 @@ def run_bench() -> dict:
         dedupe.minhash_candidate_pairs(SF_DIR)))
     queries["ann_brute_force"] = timed(lambda: consume(
         similarity.brute_force_topk(SF_DIR)))
+    queries["ann_ivf_pq"] = timed(lambda: consume(
+        similarity.ivf_pq_topk(SF_DIR)))
 
     n_docs = n_docs_holder["n"]
     result = {
