@@ -98,6 +98,12 @@ def _media_frame_sample(sf_dir: str):
     return media_frame_sample(read_pages(_corpus_for(sf_dir)))
 
 
+def _media_thumbnail(sf_dir: str):
+    from pgstosrt_ray.pipelines.multimodal import media_thumbnail
+    from pgstosrt_ray.sources.pages import read_pages
+    return media_thumbnail(read_pages(_corpus_for(sf_dir)))
+
+
 def _url_section_stats(sf_dir: str):
     from pgstosrt_ray.pipelines.webops import url_section_stats
     return url_section_stats(_corpus_for(sf_dir))
@@ -163,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(extended.QUERIES)
     out.update(webops.QUERIES)
     out["url_section_stats"] = _url_section_stats
+    out["media_thumbnail"] = _media_thumbnail
     # round-4 additions re-insert at the TAIL regardless of module, so
     # a count-capped driver run keeps earlier rounds' recorded coverage
     for name in ("repetition_scores", "decontaminate", "redact_pii",
@@ -174,7 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "running_total", "grouped_p90", "window_funnel",
                  "bm25_search", "cms_token_counts",
                  "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
-                 "url_section_stats"):
+                 "url_section_stats", "media_thumbnail"):
         out[name] = out.pop(name)
     return out
 
@@ -290,6 +297,7 @@ _GOLDEN_COLS = {
     "grouped_approx_quantiles": "event_type, q, est_cents",
     "media_frame_sample": ("url, frame_idx, start_ms, end_ms, "
                            "n_bytes, frame_sha"),
+    "media_thumbnail": "url, obj_w, obj_h, thumb_sha",
 }
 
 

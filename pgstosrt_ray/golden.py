@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v11"  # v11: + bm25_search golden;
+GOLDEN_VERSION = "v12"  # v12: + media_thumbnail golden;
+#     v11: + bm25_search golden;
 #     v10: + ann_ivf_pq_rerank golden;
 #     v9: + ann_ivf_pq + pca_project goldens;
 #     v8: + simhash_clusters + cms_token_counts
@@ -732,6 +733,132 @@ def golden_media_frame_sample(corpus: str, k: int = 4) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=_FRAME_SCHEMA)
 
 
+# ------------------------------------------------------- thumbnails
+def _gold_rle_decode(buf: bytes, width: int, height: int) -> np.ndarray:
+    """Fresh per-pixel transcription of the reference RLE walk
+    (DecodeImage do/while, BluRaySupParserExtensions.cs:55-134),
+    writing palette indices; out-of-range writes dropped."""
+    n = width * height
+    idx = np.zeros(n, dtype=np.uint8)
+
+    def put(pos, value):
+        if 0 <= pos < n:
+            idx[pos] = value
+
+    out = line = ip = 0
+    if not buf:
+        return idx.reshape(height, width)
+    while True:
+        color = buf[ip]
+        ip += 1
+        if color == 0 and ip < len(buf):
+            code = buf[ip]
+            ip += 1
+            if code == 0:
+                out = out // width * width
+                if line < width:
+                    out += width
+                line = 0
+            elif (code & 192) == 64:
+                if ip < len(buf):
+                    run = ((code - 64) << 8) + buf[ip]
+                    ip += 1
+                    for _ in range(run):
+                        put(out, 0)
+                        out += 1
+                    line += run
+            elif (code & 192) == 128:
+                if ip < len(buf):
+                    run = code - 128
+                    val = buf[ip]
+                    ip += 1
+                    for _ in range(run):
+                        put(out, val)
+                        out += 1
+                    line += run
+            elif (code & 192) != 0:
+                if ip < len(buf):
+                    run = ((code - 192) << 8) + buf[ip]
+                    val = buf[ip + 1]
+                    ip += 2
+                    for _ in range(run):
+                        put(out, val)
+                        out += 1
+                    line += run
+            else:
+                for _ in range(code):
+                    put(out, 0)
+                    out += 1
+                line += code
+        else:
+            put(out, color)
+            out += 1
+            line += 1
+        if ip >= len(buf):
+            return idx.reshape(height, width)
+
+
+def _gold_be16(b: bytes, off: int) -> int:
+    return (b[off] << 8) | b[off + 1]
+
+
+_THUMB_SCHEMA = pa.schema([
+    ("url", pa.string()), ("obj_w", pa.int32()), ("obj_h", pa.int32()),
+    ("thumb_sha", pa.string()),
+])
+
+
+def golden_media_thumbnail(corpus: str, t: int = 16) -> pa.Table:
+    """Independent mirror of multimodal.ThumbnailStage: own 13-byte
+    segment walk, own RLE decoder, same first-ODS-object and
+    nearest-neighbor (src = (i * dim) // t) contract."""
+    import glob
+    cols: dict[str, list] = {n: [] for n in _THUMB_SCHEMA.names}
+    for path in sorted(glob.glob(os.path.join(corpus, "pages",
+                                              "*.parquet"))):
+        tab = pq.read_table(path, columns=["url", "html"])
+        for url, data in zip(tab.column("url").to_pylist(),
+                             tab.column("html").to_pylist()):
+            if data[:2] != b"PG":
+                continue
+            pos, target, w, h, frags = 0, None, 0, 0, []
+            while pos + 13 <= len(data):
+                if data[pos:pos + 2] != b"PG":
+                    break
+                seg_type = data[pos + 10]
+                size = _gold_be16(data, pos + 11)
+                body = data[pos + 13:pos + 13 + size]
+                pos += 13 + size
+                if seg_type != 0x15 or len(body) < 4:
+                    continue
+                oid = _gold_be16(body, 0)
+                is_first = (body[3] & 0x80) == 0x80
+                if target is None:
+                    if is_first and len(body) >= 11:
+                        target = oid
+                        w, h = _gold_be16(body, 7), _gold_be16(body, 9)
+                        frags = [body[11:]]
+                elif oid == target:
+                    if is_first:
+                        break
+                    frags.append(body[4:])
+            if target is None or w <= 0 or h <= 0:
+                continue
+            buf = b"".join(frags)
+            if not buf:
+                continue
+            idx = _gold_rle_decode(buf, w, h)
+            rows = [(i * idx.shape[0]) // t for i in range(t)]
+            cs = [(i * idx.shape[1]) // t for i in range(t)]
+            thumb = idx[np.ix_(np.array(rows), np.array(cs))]
+            cols["url"].append(url)
+            cols["obj_w"].append(w)
+            cols["obj_h"].append(h)
+            cols["thumb_sha"].append(
+                hashlib.sha256(thumb.tobytes()).hexdigest())
+    return pa.Table.from_pydict(cols, schema=_THUMB_SCHEMA)
+
+
 # ------------------------------------------------------------ harness
 # query name -> (builder, input kind): "sf" tables or the page corpus
 GOLDEN_BUILDERS = {
@@ -756,6 +883,7 @@ GOLDEN_BUILDERS = {
     "approx_quantiles": (golden_approx_quantiles, "sf"),
     "grouped_approx_quantiles": (golden_grouped_approx_quantiles, "sf"),
     "media_frame_sample": (golden_media_frame_sample, "corpus"),
+    "media_thumbnail": (golden_media_thumbnail, "corpus"),
 }
 
 

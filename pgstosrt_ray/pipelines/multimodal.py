@@ -164,3 +164,91 @@ def media_frame_sample(pages_ds, k: int = 4):
     return pages_ds.map_batches(FrameSampleStage, batch_format="pyarrow",
                                 batch_size=16, concurrency=_pool_size(),
                                 num_cpus=1, fn_constructor_kwargs={"k": k})
+
+
+THUMB_T = 16
+THUMB_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("obj_w", pa.int32()),
+    ("obj_h", pa.int32()),
+    ("thumb_sha", pa.string()),      # hex text (BLOB-compare gotcha)
+])
+
+
+class ThumbnailStage:
+    """Actor-pool stage: REAL pixel decode + resize — no media lib
+    needed, because image-typed payloads here are PGS segment streams
+    and the RLE decoder is the pipeline's own (decode.py, the same
+    kernel the flagship OCR path uses).
+
+    Contract (mirrored byte-for-byte by golden.golden_media_thumbnail,
+    which carries its OWN segment walk and RLE decoder): take the
+    FIRST ODS object in the stream (its first-fragment header gives
+    width/height; continuation fragments of the same object id append
+    until the next first-fragment), RLE-decode to the (h, w)
+    palette-index image, nearest-neighbor resize to THUMB_T x THUMB_T
+    (src = (i * dim) // T), sha256-hex the resized index bytes.
+    Non-PG payloads and streams with no decodable object emit no row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..decode import decode_object_indexed
+        from ..format import be16
+        cols: dict[str, list] = {n: [] for n in THUMB_SCHEMA.names}
+        t = THUMB_T
+        for url, data in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            first = self._first_object(data, be16)
+            if first is None:
+                continue
+            w, h, buf = first
+            if w <= 0 or h <= 0 or not buf:
+                continue
+            idx, _written = decode_object_indexed(buf, w, h)
+            rows = (np.arange(t, dtype=np.int64) * idx.shape[0]) // t
+            colsel = (np.arange(t, dtype=np.int64) * idx.shape[1]) // t
+            thumb = idx[np.ix_(rows, colsel)]
+            cols["url"].append(url)
+            cols["obj_w"].append(w)
+            cols["obj_h"].append(h)
+            cols["thumb_sha"].append(
+                hashlib.sha256(thumb.tobytes()).hexdigest())
+        return pa.Table.from_pydict(cols, schema=THUMB_SCHEMA)
+
+    @staticmethod
+    def _first_object(data: bytes, be16) -> tuple | None:
+        """13-byte-header segment walk collecting the first ODS
+        object's fragments (id pinned at the first is-first fragment,
+        stopping at that id's next is-first fragment)."""
+        if data[:2] != b"PG":
+            return None
+        pos, target, w, h, frags = 0, None, 0, 0, []
+        while pos + 13 <= len(data):
+            if data[pos:pos + 2] != b"PG":
+                break
+            seg_type = data[pos + 10]
+            size = be16(data, pos + 11)
+            body = data[pos + 13:pos + 13 + size]
+            pos += 13 + size
+            if seg_type != 0x15 or len(body) < 4:
+                continue
+            obj_id = be16(body, 0)
+            is_first = (body[3] & 0x80) == 0x80
+            if target is None:
+                if is_first and len(body) >= 11:
+                    target = obj_id
+                    w, h = be16(body, 7), be16(body, 9)
+                    frags = [body[11:]]
+            elif obj_id == target:
+                if is_first:
+                    break             # next version of the object
+                frags.append(body[4:])
+        if target is None:
+            return None
+        return w, h, b"".join(frags)
+
+
+def media_thumbnail(pages_ds):
+    """pages -> real decoded-bitmap thumbnails for image payloads."""
+    return pages_ds.map_batches(ThumbnailStage, batch_format="pyarrow",
+                                batch_size=16, concurrency=_pool_size(),
+                                num_cpus=1)

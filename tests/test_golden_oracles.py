@@ -58,6 +58,19 @@ def test_media_frame_sample_matches_golden(ray_session):
     pd.testing.assert_frame_equal(ours, exp, check_dtype=False)
 
 
+def test_media_thumbnail_matches_golden(ray_session):
+    """REAL pixel path: the pipeline decodes + resizes with its own
+    RLE kernel; the golden carries an independent segment walk AND an
+    independent RLE decoder (golden._gold_rle_decode)."""
+    from pgstosrt_ray.pipelines.multimodal import media_thumbnail
+    from pgstosrt_ray.sources.pages import materialize_corpus, read_pages
+    corpus = materialize_corpus("t1", 60, seed=42)
+    ours = _to_df(media_thumbnail(read_pages(corpus)))
+    exp = _to_df(golden.golden_media_thumbnail(corpus))
+    assert len(ours) > 50          # most PG pages decode
+    pd.testing.assert_frame_equal(ours, exp, check_dtype=False)
+
+
 def test_oracle_sql_covers_every_query():
     """Driver contract: every queries() entry now has an oracle_sql()
     entry (66/66 — zero rows-only checks left)."""

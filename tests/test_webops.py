@@ -192,6 +192,43 @@ def test_url_section_stats_matches_oracle(ray_session):
     assert a["n_pages"].sum() > 0
 
 
+# ------------------------------------------------------- media thumbnail
+def test_thumbnail_planted_stream():
+    """Hand-framed PG stream: one ODS split across two fragments; the
+    walk must pin the first object, concatenate continuation data, and
+    the nearest-neighbor resize must replicate rows/cols of the 2x2
+    checkerboard."""
+    import hashlib
+    import numpy as np
+    from pgstosrt_ray.format import be16
+    from pgstosrt_ray.pipelines.multimodal import THUMB_T, ThumbnailStage
+
+    def seg(seg_type: int, body: bytes) -> bytes:
+        return (b"PG" + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                + bytes([seg_type]) + len(body).to_bytes(2, "big") + body)
+
+    # 2x2 image, indices [[1,2],[3,4]]: literal pixels + line breaks
+    rle = bytes([1, 2, 0, 0, 3, 4, 0, 0])
+    # first fragment carries header + first half, continuation the rest
+    body1 = ((5).to_bytes(2, "big") + bytes([0, 0x80])
+             + (0).to_bytes(3, "big") + (2).to_bytes(2, "big")
+             + (2).to_bytes(2, "big") + rle[:4])
+    body2 = (5).to_bytes(2, "big") + bytes([0, 0x00]) + rle[4:]
+    stream = seg(0x15, body1) + seg(0x15, body2)
+    w, h, buf = ThumbnailStage._first_object(stream, be16)
+    assert (w, h, buf) == (2, 2, rle)
+    from pgstosrt_ray.decode import decode_object_indexed
+    idx, _ = decode_object_indexed(buf, w, h)
+    assert idx.tolist() == [[1, 2], [3, 4]]
+    rows = (np.arange(THUMB_T) * 2) // THUMB_T
+    expect = idx[np.ix_(rows, rows)]
+    out = ThumbnailStage()(
+        __import__("pyarrow").table({"url": ["u"], "html": [stream]}))
+    assert out.column("thumb_sha").to_pylist() == [
+        hashlib.sha256(expect.tobytes()).hexdigest()]
+    assert out.column("obj_w").to_pylist() == [2]
+
+
 # --------------------------------------------------------------- IVF-PQ
 def test_ivf_pq_recall_and_code_size(ray_session):
     """ADC top-k over 8-byte codes still finds a solid share of the
