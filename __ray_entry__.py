@@ -179,7 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
                  "running_total", "grouped_p90", "window_funnel",
-                 "bm25_search", "cms_token_counts",
+                 "bm25_search", "unigram_logprob", "cms_token_counts",
                  "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
                  "url_section_stats", "media_thumbnail"):
         out[name] = out.pop(name)
@@ -282,6 +282,7 @@ _GOLDEN_COLS = {
     "simhash_clusters": "doc_id, cluster_id",
     "cms_token_counts": "token, est_n",
     "bm25_search": "doc_id, score",
+    "unigram_logprob": "doc_id, n_tokens, nll_per_tok",
     "ngram_jaccard_pairs": "doc_a, doc_b, jaccard3",
     "embedding_near_dup": "doc_a, doc_b, cosine",
     "ann_lsh": "vec_id, sim",

