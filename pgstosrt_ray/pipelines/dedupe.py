@@ -205,6 +205,10 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
 # pair count below which signature re-attach broadcasts instead of
 # shuffling: bounds the collected sig subset to ~2x this x 1 KB
 BROADCAST_PAIRS_LIMIT = 8192
+# connected-components edge gate (label_propagation): driver union-find
+# is exact and ~100x cheaper than iterative propagation rounds until
+# the edge list itself is too big to collect; 1M edges = ~16 MB
+CC_BROADCAST_EDGES = 1 << 20
 
 
 def estimate_pairs(cand, sigs, threshold: float):
@@ -353,11 +357,18 @@ def label_propagation(edges, ids, max_rounds: int = 25):
     """Distributed connected components over a materialized (node,
     nbr) edge dataset: (doc_id, cluster_id=min id in component).
 
-    Below 2 x BROADCAST_PAIRS_LIMIT edges the component labels come
-    from the unit-tested driver-side union-find instead (the edge set
-    is provably small — same volume gate as estimate_pairs) and
-    broadcast to the corpus-sized ids side: no propagation rounds, no
-    joins. The iterative min-label propagation remains the scale path."""
+    Below CC_BROADCAST_EDGES edges the component labels come from the
+    unit-tested driver-side union-find instead (a COUNTED volume gate:
+    1M (node, nbr) int64 rows is ~16 MB on the driver and union-find
+    runs in well under a second — each propagation round below costs
+    one hash join + one bucketed min, ~8 s of fixed overhead at bench
+    scale, so a dense near-dup graph over a small corpus would pay
+    10x the graph's own cost in rounds) and broadcast to the
+    corpus-sized ids side: no propagation rounds, no joins. The
+    iterative min-label propagation remains the scale path for edge
+    sets that genuinely cannot sit on the driver, and stays covered by
+    forced-path tests (monkeypatching BROADCAST_PAIRS_LIMIT <= 0
+    disables the gate)."""
     import pyarrow.compute as pc
     n_edges = edges.count()
     if n_edges == 0:
@@ -365,7 +376,7 @@ def label_propagation(edges, ids, max_rounds: int = 25):
             lambda t: pa.table({"doc_id": t.column("doc_id"),
                                 "cluster_id": t.column("doc_id")}),
             batch_format="pyarrow")
-    if n_edges <= 2 * BROADCAST_PAIRS_LIMIT:
+    if BROADCAST_PAIRS_LIMIT > 0 and n_edges <= CC_BROADCAST_EDGES:
         return _propagate_broadcast(edges, ids)
 
     def seed_labels(t: pa.Table) -> pa.Table:
