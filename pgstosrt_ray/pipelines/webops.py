@@ -458,6 +458,44 @@ def sql_url_section_stats(corpus: str) -> str:
         "GROUP BY 1")
 
 
+# --- forward as-of join ----------------------------------------------------
+def q_asof_join_forward(sf_dir: str):
+    """The FORWARD direction of relational.q_asof_join: each event's
+    NEXT purchase timestamp at-or-after it (lead-looking as-of).
+    Same single bucketed per-user shuffle; the in-bucket work is a
+    reversed grouped cummin + reversed grouped ffill — vectorized,
+    no per-user Python."""
+    from .relational import _by_user_bucketed
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def asof_fwd(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
+        purchases = g["ts"].where(g["event_type"] == "purchase")
+        rid = g.index[::-1]
+        uid_rev = g["user_id"].loc[rid]
+        nxt = (purchases.loc[rid].groupby(uid_rev, sort=False).cummin()
+               .groupby(uid_rev, sort=False).ffill()).loc[g.index]
+        g["next_purchase_ts"] = nxt
+        return g[["event_id", "user_id", "ts", "next_purchase_ts"]]
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("next_purchase_ts", pa.timestamp("us"))])
+    return _by_user_bucketed(ds, asof_fwd, out_schema=schema,
+                             est_bytes=_table_bytes(sf_dir, "events"))
+
+
+SQL_ASOF_JOIN_FORWARD = (
+    "SELECT event_id, user_id, ts, "
+    "MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) "
+    "AS next_purchase_ts FROM events")
+
+
 # --- ordered-event funnel (windowFunnel shape) ---------------------------
 # Per-user funnel depth over the strict event order view -> click ->
 # purchase, with the whole sequence constrained to FUNNEL_WINDOW_US of
@@ -757,6 +795,7 @@ QUERIES = {
     "dup_ngram_coverage": q_dup_ngram_coverage,
     "running_total": q_running_total,
     "grouped_p90": q_grouped_p90,
+    "asof_join_forward": q_asof_join_forward,
     "window_funnel": q_window_funnel,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
@@ -774,6 +813,7 @@ ORACLE_SQL = {
     "dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE,
     "running_total": SQL_RUNNING_TOTAL,
     "grouped_p90": SQL_GROUPED_P90,
+    "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
     "window_funnel": SQL_WINDOW_FUNNEL,
     # cms_token_counts / bm25_search: golden oracles wired in
     # __ray_entry__.py
