@@ -179,7 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
                  "running_total", "grouped_p90", "asof_join_forward",
-                 "window_funnel",
+                 "rolling_sum", "window_funnel",
                  "bm25_search", "unigram_logprob", "cms_token_counts",
                  "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
                  "url_section_stats", "media_thumbnail"):

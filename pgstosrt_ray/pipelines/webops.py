@@ -458,6 +458,45 @@ def sql_url_section_stats(corpus: str) -> str:
         "GROUP BY 1")
 
 
+# --- bounded-frame rolling window -----------------------------------------
+# SUM OVER (ROWS N-1 PRECEDING .. CURRENT ROW) — the moving-average
+# family; distinct from running_total's unbounded frame. Same single
+# bucketed per-user shuffle; exact milli-unit ints keep the window sum
+# engine-exact under any bucket count.
+ROLLING_N = 3
+
+
+def q_rolling_sum(sf_dir: str, n: int = ROLLING_N):
+    from .relational import _by_key_bucketed
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+             .reset_index(drop=True))
+        milli = (g["value"] * 1000.0).round().astype("int64")
+        g["roll_value_milli"] = (
+            milli.groupby(g["user_id"], sort=False)
+            .rolling(n, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype("int64"))
+        return g[["event_id", "user_id", "ts", "roll_value_milli"]]
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("roll_value_milli", pa.int64())])
+    return _by_key_bucketed(ds, "user_id", roll, out_schema=schema,
+                            est_bytes=_table_bytes(sf_dir, "events"))
+
+
+SQL_ROLLING_SUM = (
+    "SELECT event_id, user_id, ts, "
+    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER ("
+    f"PARTITION BY user_id ORDER BY ts, event_id "
+    f"ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS roll_value_milli FROM events")
+
+
 # --- forward as-of join ----------------------------------------------------
 def q_asof_join_forward(sf_dir: str):
     """The FORWARD direction of relational.q_asof_join: each event's
@@ -796,6 +835,7 @@ QUERIES = {
     "running_total": q_running_total,
     "grouped_p90": q_grouped_p90,
     "asof_join_forward": q_asof_join_forward,
+    "rolling_sum": q_rolling_sum,
     "window_funnel": q_window_funnel,
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
@@ -814,6 +854,7 @@ ORACLE_SQL = {
     "running_total": SQL_RUNNING_TOTAL,
     "grouped_p90": SQL_GROUPED_P90,
     "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
+    "rolling_sum": SQL_ROLLING_SUM,
     "window_funnel": SQL_WINDOW_FUNNEL,
     # cms_token_counts / bm25_search: golden oracles wired in
     # __ray_entry__.py
