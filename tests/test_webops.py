@@ -348,6 +348,22 @@ def test_bm25_search_ranks_term_rich_docs(ray_session):
         assert any(t in texts[d].split() for t in webops.BM25_TERMS)
 
 
+# ------------------------------------------- input-order independence
+def test_window_ops_order_independent(ray_session, tmp_path):
+    """Window results must not depend on input row order (the
+    in-bucket sort is the only ordering anywhere): a reversed copy of
+    events produces identical tables."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+    pq.write_table(rev, str(tmp_path / "events.parquet"))
+    for q in (webops.q_rolling_sum, webops.q_asof_join_forward,
+              webops.q_window_funnel, webops.q_running_total):
+        a = _to_df(q(SF_DIR))
+        b = _to_df(q(str(tmp_path)))
+        pd.testing.assert_frame_equal(a, b)
+
+
 # ------------------------------------------------ window distinct users
 def test_window_distinct_users_bounds(ray_session, con):
     out = _to_df(webops.q_window_distinct_users(SF_DIR))
