@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "simhash_clusters", "event_type_pivot", "source_stats",
                  "lang_top_tokens", "stratified_sample",
                  "window_distinct_users", "dup_ngram_coverage",
+                 "dup_rate_by_source",
                  "running_total", "grouped_p90", "asof_join_forward",
                  "rolling_sum", "window_funnel",
                  "bm25_search", "unigram_logprob", "cms_token_counts",

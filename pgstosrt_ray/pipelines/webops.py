@@ -458,6 +458,93 @@ def sql_url_section_stats(corpus: str) -> str:
         "GROUP BY 1")
 
 
+# --- per-source duplicate-rate report -------------------------------------
+def q_dup_rate_by_source(sf_dir: str, n: int = COVERAGE_N):
+    """The "which crawl source is full of boilerplate" report:
+    corpus duplicate-shingle counts rolled up per source. Composition
+    of the dup_ngram_coverage machinery — the source label rides the
+    per-doc partial rows through the same two shuffles (20 interned
+    strings, no extra join), then one fixed-domain sum; the rate is
+    exact-int division."""
+    from ray.data.aggregate import Sum
+    from .extended import _word_ngrams
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "text"])
+    docs_bytes = _table_bytes(sf_dir, "documents")
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = _word_ngrams(df[["doc_id", "text"]], n)
+        src = df.set_index("doc_id")["source"]
+        g["source"] = g["doc_id"].map(src)
+        return g
+
+    def dup_partials(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("g")["doc_id"].transform("size")
+        dup = g[cnt >= 2]
+        out = (dup.groupby("source", as_index=False).size())
+        out.columns = ["source", "n_dup"]
+        return pd.DataFrame({
+            "source": out["source"],
+            "n_grams": np.zeros(len(out), dtype=np.int64),
+            "n_dup": out["n_dup"].astype("int64"),
+        })
+
+    dupp = bucketed_group_agg(
+        ds.map_batches(gram_rows, batch_format="pandas"), ["g"],
+        dup_partials, est_bytes=docs_bytes * n)
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = _word_ngrams(df[["doc_id", "text"]], n)
+        per_doc = g.groupby("doc_id").size()
+        tot = df["doc_id"].map(per_doc).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": df["source"],
+            "n_grams": tot,
+            "n_dup": np.zeros(len(df), dtype=np.int64),
+        })
+
+    both = ds.map_batches(totals, batch_format="pandas").union(dupp)
+    agg = materialize_nonempty(
+        both.groupby("source")
+        .aggregate(Sum(on="n_grams", alias_name="n_grams"),
+                   Sum(on="n_dup", alias_name="n_dup")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("n_grams").to_numpy().astype(np.int64)
+        dup = t.column("n_dup").to_numpy().astype(np.int64)
+        rate = np.where(tot > 0,
+                        dup.astype(np.float64)
+                        / np.maximum(tot, 1).astype(np.float64), 0.0)
+        return pa.table({"source": t.column("source"),
+                         "n_grams": pa.array(tot, pa.int64()),
+                         "n_dup": pa.array(dup, pa.int64()),
+                         "dup_rate": pa.array(rate, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+    array_to_string(ws[i:i+{COVERAGE_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ws) - {COVERAGE_N - 2})) AS t(i)),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS BIGINT)
+      AS n_dup
+  FROM grams GROUP BY source)
+SELECT s.source, COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_dup, 0) AS n_dup,
+  CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+       ELSE CAST(p.n_dup AS DOUBLE) / p.n_grams END AS dup_rate
+FROM (SELECT DISTINCT source FROM documents) s LEFT JOIN per p
+  USING (source)
+"""
+
+
 # --- bounded-frame rolling window -----------------------------------------
 # SUM OVER (ROWS N-1 PRECEDING .. CURRENT ROW) — the moving-average
 # family; distinct from running_total's unbounded frame. Same single
@@ -832,6 +919,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "window_distinct_users": q_window_distinct_users,
     "dup_ngram_coverage": q_dup_ngram_coverage,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "running_total": q_running_total,
     "grouped_p90": q_grouped_p90,
     "asof_join_forward": q_asof_join_forward,
@@ -851,6 +939,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "running_total": SQL_RUNNING_TOTAL,
     "grouped_p90": SQL_GROUPED_P90,
     "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
