@@ -181,3 +181,69 @@ def test_top_orders_matches_duckdb_on_random_frames(ray_session,
     pd.testing.assert_frame_equal(ours[sorted(ours.columns)],
                                   theirs[sorted(theirs.columns)],
                                   check_dtype=False)
+
+
+# --- round-4 window ops: rolling sum + forward as-of ---------------------
+def _rich_events_frame(draw_ids, draw_ts, draw_vals, draw_types):
+    n = min(len(draw_ids), len(draw_ts), len(draw_vals), len(draw_types))
+    kinds = np.array(["view", "click", "purchase"], dtype=object)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": np.asarray(draw_ids[:n], dtype="int64"),
+        "ts": pd.to_datetime(np.asarray(draw_ts[:n], dtype="int64"),
+                             unit="us"),
+        # eighth-units: value*1000 is an exact integer, so the
+        # milli-rounding is unambiguous on both engines
+        "value": np.asarray(draw_vals[:n], dtype="float64") / 8.0,
+        "event_type": kinds[np.asarray(draw_types[:n]) % 3],
+    })
+
+
+rich_events_strategy = st.builds(
+    _rich_events_frame,
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+             max_size=50),
+    st.lists(st.integers(min_value=0, max_value=10 ** 9), min_size=1,
+             max_size=50),
+    st.lists(st.integers(min_value=-800, max_value=800), min_size=1,
+             max_size=50),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=1,
+             max_size=50),
+).filter(lambda df: len(df) >= 1)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=rich_events_strategy)
+def test_round4_window_ops_match_duckdb_on_random_frames(
+        ray_session, tmp_path_factory, df):
+    import pyarrow as pa
+    import ray
+    from pgstosrt_ray.pipelines import webops
+    tmpdir = str(tmp_path_factory.mktemp("ev4"))
+    df.to_parquet(f"{tmpdir}/events.parquet")
+    con = duckdb.connect()
+    con.register("events", df)
+
+    def run(q):
+        res = q(tmpdir)
+        tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        out = (pa.concat_tables(tabs).to_pandas() if tabs
+               else pd.DataFrame())
+        return out
+
+    def norm(frame):
+        frame = frame[sorted(frame.columns)].copy()
+        for c in frame.columns:
+            if str(frame[c].dtype).startswith("datetime64"):
+                frame[c] = frame[c].astype("datetime64[ns]")
+        return frame.sort_values(list(frame.columns),
+                                 ignore_index=True)
+
+    for q, sql in ((webops.q_rolling_sum, webops.SQL_ROLLING_SUM),
+                   (webops.q_asof_join_forward,
+                    webops.SQL_ASOF_JOIN_FORWARD)):
+        ours = run(q)
+        theirs = con.sql(sql).to_df()
+        pd.testing.assert_frame_equal(norm(ours), norm(theirs),
+                                      check_dtype=False)
