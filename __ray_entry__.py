@@ -139,52 +139,66 @@ def _quality_score(sf_dir: str):
     return ds.map_batches(qs, batch_format="pandas")
 
 
+# Registration ORDER is deliberate: the driver records exactly the
+# first 50 registered entries per round. Round-5 layout (the round-4
+# VERDICT's #1 task): positions 1-28 are the round-4 additions that
+# have never had a driver-recorded CORRECTNESS row, 29-31 the flagship
+# trio (always kept inside the cap), 32-47 the 16 queries whose last
+# driver row was round 3 (displaced by the r4 cap), 48-50 the round-5
+# additions. Everything r4-green rotates past 50 — its rows are fresh
+# in CORRECTNESS_r04 and the union across rounds covers all of them.
+_ROUND4_NEVER_DRIVER_CHECKED = (
+    "repetition_scores", "decontaminate", "redact_pii",
+    "percent_rank_chars", "tfidf_top_term",
+    "kmeans_clusters", "kmeans_balanced_sample",
+    "simhash_clusters", "event_type_pivot", "source_stats",
+    "lang_top_tokens", "stratified_sample",
+    "window_distinct_users", "dup_ngram_coverage", "dup_rate_by_source",
+    "running_total", "grouped_p90", "asof_join_forward",
+    "rolling_sum", "window_funnel",
+    "bm25_search", "unigram_logprob", "cms_token_counts",
+    "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
+    "url_section_stats", "media_thumbnail",
+)
+_R3_ONLY_REFRESH = (
+    "ann_brute_force", "ann_brute_multi", "ann_ivf", "ann_lsh",
+    "cross_join", "full_outer_join", "left_outer_join",
+    "embedding_near_dup", "minhash_clusters", "minhash_dedup_keep",
+    "ngram_jaccard_pairs", "simhash_pairs", "inverted_index",
+    "unnest_tokens", "prep_corpus", "semi_join_bloom",
+)
+_ROUND5_NEW = ("bigram_pmi", "perplexity_buckets", "idf_table")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pgstosrt_ray.pipelines import (dedupe, extended, relational,
                                         similarity, webops)
-    # Registration ORDER is deliberate: the round-3 driver recorded
-    # exactly the first 50 registered entries, so the 16 queries absent
-    # from CORRECTNESS_r03 (the flagship extract trio first) lead here —
-    # a capped driver run still covers them, and the union across
-    # rounds covers all 66. dict.update keeps the FIRST insertion
-    # position for existing keys, so the module dicts below do not
-    # reorder these.
-    out: dict[str, Callable[[str], Any]] = {
+    registry: dict[str, Callable[[str], Any]] = {
         "extract_docs": _extract_docs,
         "extract_docs_nomerge": _extract_docs_nomerge,
         "demux_cues": _demux_cues,
         "media_features": _media_features,
         "media_frame_sample": _media_frame_sample,
+        "media_thumbnail": _media_thumbnail,
+        "url_section_stats": _url_section_stats,
         "lang_id": _lang_id,
         "quality_score": _quality_score,
     }
-    for name in ("sample_per_key", "rollup_counts", "normalize_text",
-                 "approx_quantiles", "grouped_approx_quantiles",
-                 "distinct_users_per_type", "value_stats",
-                 "value_histogram", "events_per_day"):
-        out[name] = extended.QUERIES[name]
-    out.update(relational.QUERIES)
-    out.update(dedupe.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(extended.QUERIES)
-    out.update(webops.QUERIES)
-    out["url_section_stats"] = _url_section_stats
-    out["media_thumbnail"] = _media_thumbnail
-    # round-4 additions re-insert at the TAIL regardless of module, so
-    # a count-capped driver run keeps earlier rounds' recorded coverage
-    for name in ("repetition_scores", "decontaminate", "redact_pii",
-                 "percent_rank_chars", "tfidf_top_term",
-                 "kmeans_clusters", "kmeans_balanced_sample",
-                 "simhash_clusters", "event_type_pivot", "source_stats",
-                 "lang_top_tokens", "stratified_sample",
-                 "window_distinct_users", "dup_ngram_coverage",
-                 "dup_rate_by_source",
-                 "running_total", "grouped_p90", "asof_join_forward",
-                 "rolling_sum", "window_funnel",
-                 "bm25_search", "unigram_logprob", "cms_token_counts",
-                 "ann_ivf_pq", "ann_ivf_pq_rerank", "pca_project",
-                 "url_section_stats", "media_thumbnail"):
-        out[name] = out.pop(name)
+    registry.update(relational.QUERIES)
+    registry.update(dedupe.QUERIES)
+    registry.update(similarity.QUERIES)
+    registry.update(extended.QUERIES)
+    registry.update(webops.QUERIES)
+
+    out: dict[str, Callable[[str], Any]] = {}
+    head = (_ROUND4_NEVER_DRIVER_CHECKED
+            + ("extract_docs", "extract_docs_nomerge", "demux_cues")
+            + _R3_ONLY_REFRESH
+            + tuple(n for n in _ROUND5_NEW if n in registry))
+    for name in head:
+        out[name] = registry[name]
+    for name, fn in registry.items():
+        out.setdefault(name, fn)
     return out
 
 
