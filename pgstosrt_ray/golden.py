@@ -343,8 +343,12 @@ def golden_ann_lsh(sf_dir: str, k: int = 50, bits: int = 4,
 
 
 def golden_ann_ivf(sf_dir: str, k: int = 50, nprobe: int = 12,
-                   n_cells: int = 32, sample: int = 2048,
+                   n_cells: int = 32, sample: int | None = None,
                    iters: int = 10, seed: int = 11) -> pa.Table:
+    if sample is None:
+        # published sample spec: 256 trainer points per IVF cell,
+        # floor 2048 (stated independently of the pipeline's helper)
+        sample = max(2048, 256 * n_cells)
     ids, m = _embeddings(sf_dir)
     # deterministic uniform sample: the ``sample`` smallest
     # hash(vec_id) rows, ordered by (hash, vec_id) — mirrors
@@ -374,7 +378,7 @@ def golden_ann_ivf(sf_dir: str, k: int = 50, nprobe: int = 12,
 
 
 def golden_ann_ivf_pq(sf_dir: str, k: int = 50, nprobe: int = 12,
-                      n_cells: int = 32, sample: int = 2048,
+                      n_cells: int = 32, sample: int | None = None,
                       iters: int = 10, seed: int = 11,
                       pq_m: int = 8, pq_k: int = 16,
                       pq_seed: int = 23) -> pa.Table:
@@ -383,6 +387,9 @@ def golden_ann_ivf_pq(sf_dir: str, k: int = 50, nprobe: int = 12,
     coarse spherical k-means seed 11, per-subspace Euclidean Lloyd's
     seeds 23+j, ADC = LEFT-FOLD sum of per-subspace LUT gathers,
     round 6)."""
+    if sample is None:
+        # 256 points per IVF cell AND per PQ codeword, floor 2048
+        sample = max(2048, 256 * n_cells, 256 * pq_k)
     ids, m = _embeddings(sf_dir)
     with np.errstate(over="ignore"):
         h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -450,11 +457,14 @@ def golden_ann_ivf_pq_rerank(sf_dir: str, k: int = 50,
 
 
 def golden_pca_project(sf_dir: str, n_comp: int = 8,
-                       sample: int = 2048) -> pa.Table:
+                       sample: int | None = None) -> pa.Table:
     """Independent PCA: hash-uniform sample mean/covariance, eigh,
     sign fixed by largest-|loading| coordinate, projection round 6 —
     mirrors similarity.pca_project's published spec."""
     ids, m = _embeddings(sf_dir)
+    if sample is None:
+        # 32 points per embedding dimension, floor 2048
+        sample = max(2048, 32 * m.shape[1])
     with np.errstate(over="ignore"):
         h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     order = np.lexsort((ids, h))[:sample]
@@ -475,11 +485,14 @@ def golden_pca_project(sf_dir: str, n_comp: int = 8,
     return pa.table(cols)
 
 
-def golden_kmeans(sf_dir: str, k: int = 8, sample: int = 2048,
+def golden_kmeans(sf_dir: str, k: int = 8, sample: int | None = None,
                   iters: int = 10, seed: int = 11) -> pa.Table:
     """Independent spherical k-means: same published spec as
     similarity.kmeans_clusters (hash-uniform sample, seeded init,
     Lloyd's with cosine assignment), fresh single-threaded code."""
+    if sample is None:
+        # 64 trainer points per centroid, floor 2048
+        sample = max(2048, 64 * k)
     ids, m = _embeddings(sf_dir)
     with np.errstate(over="ignore"):
         h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -507,7 +520,7 @@ def golden_kmeans(sf_dir: str, k: int = 8, sample: int = 2048,
 
 
 def golden_kmeans_sample(sf_dir: str, k: int = 8, cap: int = 32,
-                         sample: int = 2048, iters: int = 10,
+                         sample: int | None = None, iters: int = 10,
                          seed: int = 11) -> pa.Table:
     """Cluster-balanced sample: the ``cap`` rows with smallest
     md5(vec_id-as-decimal) per golden_kmeans cluster."""

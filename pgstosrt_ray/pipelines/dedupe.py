@@ -367,8 +367,9 @@ def label_propagation(edges, ids, max_rounds: int = 25):
     corpus-sized ids side: no propagation rounds, no joins. The
     iterative min-label propagation remains the scale path for edge
     sets that genuinely cannot sit on the driver, and stays covered by
-    forced-path tests (monkeypatching BROADCAST_PAIRS_LIMIT <= 0
-    disables the gate)."""
+    forced-path tests. The gate has its OWN knob: CC_BROADCAST_EDGES
+    <= 0 disables it, independently of the BROADCAST_PAIRS_LIMIT
+    signature-re-attach gate (the two are tuned separately)."""
     import pyarrow.compute as pc
     n_edges = edges.count()
     if n_edges == 0:
@@ -376,7 +377,7 @@ def label_propagation(edges, ids, max_rounds: int = 25):
             lambda t: pa.table({"doc_id": t.column("doc_id"),
                                 "cluster_id": t.column("doc_id")}),
             batch_format="pyarrow")
-    if BROADCAST_PAIRS_LIMIT > 0 and n_edges <= CC_BROADCAST_EDGES:
+    if CC_BROADCAST_EDGES > 0 and n_edges <= CC_BROADCAST_EDGES:
         return _propagate_broadcast(edges, ids)
 
     def seed_labels(t: pa.Table) -> pa.Table:

@@ -331,6 +331,27 @@ def lsh_topk(sf_dir: str, k: int = TOP_K, bits: int = 4,
 # so the driver still only sees ``sample`` rows.
 SAMPLE_MULT = 0x9E3779B97F4A7C15
 
+# Trainer samples stay O(1) vs corpus size but must scale with MODEL
+# size (round-4 verdict #2): a fixed 2048-row draw is ~4 points per
+# (cell, codeword) at 32 cells x 16-codeword subspaces and silently
+# degrades quantization on a real corpus. Floors: 64 points per
+# k-means centroid, 256 per IVF cell, 256 per PQ codeword.
+TRAINER_SAMPLE_FLOOR = 2048
+
+
+def trainer_sample_size(*, k: int | None = None,
+                        n_cells: int | None = None,
+                        pq_k: int | None = None,
+                        floor: int = TRAINER_SAMPLE_FLOOR) -> int:
+    need = floor
+    if k:
+        need = max(need, 64 * k)
+    if n_cells:
+        need = max(need, 256 * n_cells)
+    if pq_k:
+        need = max(need, 256 * pq_k)
+    return need
+
 
 def _sample_hash(ids: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
@@ -367,7 +388,7 @@ def _fit_spherical_kmeans(m: np.ndarray, k: int, iters: int,
     return cent
 
 
-def kmeans_clusters(sf_dir: str, k: int = 8, sample: int = 2048,
+def kmeans_clusters(sf_dir: str, k: int = 8, sample: int | None = None,
                     iters: int = 10, seed: int = 11):
     """Spherical k-means clustering of the embedding table — the
     semantic-curation primitive (cluster-balanced sampling,
@@ -378,6 +399,8 @@ def kmeans_clusters(sf_dir: str, k: int = 8, sample: int = 2048,
     cosine. Output (vec_id, cluster, sim); value-checked against the
     independent golden.golden_kmeans re-implementation."""
     import ray.data
+    if sample is None:
+        sample = trainer_sample_size(k=k)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     samp = _hash_sample_pandas(ds, sample)
@@ -399,7 +422,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, sample: int = 2048,
 
 
 def kmeans_balanced_sample(sf_dir: str, k: int = 8, cap: int = 32,
-                           sample: int = 2048, iters: int = 10,
+                           sample: int | None = None, iters: int = 10,
                            seed: int = 11):
     """Cluster-balanced sampling — the semantic-curation sampler:
     the ``cap`` vectors with smallest md5(vec_id) per k-means cluster
@@ -427,7 +450,8 @@ def kmeans_balanced_sample(sf_dir: str, k: int = 8, cap: int = 32,
         out.select(["vec_id", "cluster", "sim"]))
 
 
-def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
+def build_ivf_index(sf_dir: str, n_cells: int = 32,
+                    sample: int | None = None,
                     iters: int = 10, seed: int = 11):
     """IVF coarse index: k-means centroids fitted on a driver-side
     SAMPLE — the ``sample`` rows with smallest hash(vec_id), a
@@ -437,7 +461,9 @@ def build_ivf_index(sf_dir: str, n_cells: int = 32, sample: int = 2048,
     materialized once. Returns (centroids (n_cells, dim) unit-norm,
     probe_fn)."""
     import ray.data
-    key = (sf_dir, n_cells, seed, _data_fingerprint(sf_dir))
+    if sample is None:
+        sample = trainer_sample_size(n_cells=n_cells)
+    key = (sf_dir, n_cells, sample, seed, _data_fingerprint(sf_dir))
     if key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -530,7 +556,7 @@ def _pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
 
 
 def build_ivf_pq_index(sf_dir: str, n_cells: int = 32,
-                       sample: int = 2048, iters: int = 10,
+                       sample: int | None = None, iters: int = 10,
                        seed: int = 11):
     """Coarse centroids + PQ codebooks fit on the SAME driver-side
     hash-uniform sample as build_ivf_index (training cost independent
@@ -540,7 +566,9 @@ def build_ivf_pq_index(sf_dir: str, n_cells: int = 32,
     ever touches; raw embeddings stay in cold storage for an optional
     exact re-rank of the final candidates."""
     import ray.data
-    key = (sf_dir, n_cells, seed, _data_fingerprint(sf_dir))
+    if sample is None:
+        sample = trainer_sample_size(n_cells=n_cells, pq_k=PQ_K)
+    key = (sf_dir, n_cells, sample, seed, _data_fingerprint(sf_dir))
     if key in _IVF_PQ_INDEX_CACHE:
         return _IVF_PQ_INDEX_CACHE[key]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -643,7 +671,7 @@ PCA_SAMPLE = 2048
 
 
 def pca_project(sf_dir: str, n_comp: int = PCA_COMPONENTS,
-                sample: int = PCA_SAMPLE):
+                sample: int | None = None):
     """Linear dimensionality reduction for the embedding table: mean +
     covariance fit on the driver-side hash-uniform sample (fitting
     cost independent of corpus size, exactly like the k-means/IVF
@@ -655,6 +683,12 @@ def pca_project(sf_dir: str, n_comp: int = PCA_COMPONENTS,
     import ray.data
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+    if sample is None:
+        # the fitted model is a (d x d) covariance: the sample must
+        # scale with the embedding DIMENSION, not the corpus (32
+        # points per dimension; one-row probe read to learn d)
+        d = len(ds.take(1)[0]["embedding"])
+        sample = max(PCA_SAMPLE, 32 * d)
     samp = _hash_sample_pandas(ds, sample)
     m = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
     mean = m.sum(axis=0) / len(m)
@@ -694,4 +728,6 @@ QUERIES = {
 
 ORACLE_SQL = {"ann_brute_force": sql_brute_force_topk(""),
               "ann_brute_multi": sql_brute_force_topk_multi()}
-# ann_lsh / ann_ivf are approximate by design => rows-only driver checks
+# ann_lsh/ann_ivf/ann_ivf_pq(_rerank)/kmeans_*/pca_project are value-
+# checked against the independent single-threaded oracle's golden
+# parquet (__ray_entry__._GOLDEN_COLS), not plain SQL.

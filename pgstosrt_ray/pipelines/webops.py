@@ -330,7 +330,11 @@ def q_running_total(sf_dir: str):
     def cum(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values(["user_id", "ts", "event_id"])
              .reset_index(drop=True))
-        milli = (g["value"] * 1000.0).round().astype("int64")
+        # explicit half-up rule (floor(x+0.5)) — pandas .round() is
+        # banker's, DuckDB ROUND() half-away; products landing exactly
+        # on .5 milli would diverge and cascade through the cumsum
+        milli = pd.Series(
+            np.floor(g["value"].to_numpy() * 1000.0 + 0.5)).astype("int64")
         g["cum_value_milli"] = milli.groupby(
             g["user_id"], sort=False).cumsum()
         return g[["event_id", "user_id", "ts", "cum_value_milli"]]
@@ -345,7 +349,7 @@ def q_running_total(sf_dir: str):
 
 SQL_RUNNING_TOTAL = (
     "SELECT event_id, user_id, ts, "
-    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER ("
+    "CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
     "AS cum_value_milli FROM events")
@@ -561,7 +565,9 @@ def q_rolling_sum(sf_dir: str, n: int = ROLLING_N):
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values(["user_id", "ts", "event_id"])
              .reset_index(drop=True))
-        milli = (g["value"] * 1000.0).round().astype("int64")
+        # same explicit half-up milli rule as q_running_total
+        milli = pd.Series(
+            np.floor(g["value"].to_numpy() * 1000.0 + 0.5)).astype("int64")
         g["roll_value_milli"] = (
             milli.groupby(g["user_id"], sort=False)
             .rolling(n, min_periods=1).sum()
@@ -578,7 +584,7 @@ def q_rolling_sum(sf_dir: str, n: int = ROLLING_N):
 
 SQL_ROLLING_SUM = (
     "SELECT event_id, user_id, ts, "
-    "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER ("
+    "CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER ("
     f"PARTITION BY user_id ORDER BY ts, event_id "
     f"ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW) "
     "AS BIGINT) AS roll_value_milli FROM events")

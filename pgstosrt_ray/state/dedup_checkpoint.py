@@ -71,6 +71,16 @@ def _stage_manifest(dir_path: str, expected: dict) -> dict:
     different parameters fails loudly instead."""
     os.makedirs(dir_path, exist_ok=True)
     path = os.path.join(dir_path, "_stage.json")
+    if not os.path.exists(path) and completed_partitions(dir_path):
+        # legacy checkpoint dir: completed partitions exist but no
+        # _stage.json records which parameters produced them. Stamping
+        # it with THIS call's parameters would silently accept a
+        # mismatched resume — exactly the remap the manifest prevents.
+        raise ValueError(
+            f"checkpoint dir {dir_path} has completed partitions but "
+            f"no _stage.json manifest (written by an older layout); "
+            f"cannot verify it used the requested parameters "
+            f"{expected}. Start a fresh out_dir.")
     if os.path.exists(path):
         with open(path) as f:
             have = json.load(f)

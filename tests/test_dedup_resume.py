@@ -116,6 +116,24 @@ def test_resume_with_different_parts_raises(ray_session, tmp_path):
         dc.checkpoint_pairs(out, groups=32)
 
 
+def test_legacy_dir_without_stage_manifest_refuses(ray_session,
+                                                   tmp_path):
+    """ADVICE r4: a checkpoint dir written before _stage.json existed
+    (completed partitions, no manifest) must refuse a resume instead
+    of adopting whatever parameters the resuming call passes — the
+    original partition count is unknowable, so any assumption risks
+    the doc_id->pid remap mis-filter."""
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "dedup")
+    dc.checkpoint_signatures(SF_DIR, out, parts=8)
+    os.remove(os.path.join(out, "sigs", "_stage.json"))
+    # even the ORIGINAL count is rejected: nothing proves it matches
+    with pytest.raises(ValueError, match="no _stage.json"):
+        dc.checkpoint_signatures(SF_DIR, out, parts=8)
+    with pytest.raises(ValueError, match="no _stage.json"):
+        dc.checkpoint_signatures(SF_DIR, out, parts=4)
+
+
 def test_finish_leg_labels_persist(ray_session, tmp_path,
                                    expected_keepers, monkeypatch):
     """Round-3 VERDICT item 7: the converged label-propagation result

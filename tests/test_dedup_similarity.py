@@ -265,11 +265,12 @@ def test_label_propagation_nonconvergence_raises(ray_session,
                                                  monkeypatch):
     """max_rounds=0 with real edges must raise, never return partial
     labels (ADVICE round 2). Forces the distributed-propagation path —
-    the driver-side union-find below BROADCAST_PAIRS_LIMIT is exact by
+    the driver-side union-find below CC_BROADCAST_EDGES is exact by
     construction and has no rounds to exhaust."""
     import pytest
     from pgstosrt_ray.pipelines import dedupe
     monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    monkeypatch.setattr(dedupe, "CC_BROADCAST_EDGES", -1)
     with pytest.raises(RuntimeError, match="did not converge"):
         r = dedupe.minhash_dedup_clusters("/root/testdata/sf0.001",
                                           max_rounds=0)
@@ -405,6 +406,7 @@ def test_label_propagation_equals_driver_union_find(ray_session,
 
     via_union_find = clusters()
     monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    monkeypatch.setattr(dedupe, "CC_BROADCAST_EDGES", -1)
     via_propagation = clusters()
     assert via_union_find == via_propagation
     # at least one real (non-singleton) cluster in the fixture corpus

@@ -192,9 +192,11 @@ def _rich_events_frame(draw_ids, draw_ts, draw_vals, draw_types):
         "user_id": np.asarray(draw_ids[:n], dtype="int64"),
         "ts": pd.to_datetime(np.asarray(draw_ts[:n], dtype="int64"),
                              unit="us"),
-        # eighth-units: value*1000 is an exact integer, so the
-        # milli-rounding is unambiguous on both engines
-        "value": np.asarray(draw_vals[:n], dtype="float64") / 8.0,
+        # sixteenth-units: value*1000 = 62.5*k exactly, so odd k lands
+        # EXACTLY on the .5 milli boundary — exercising the explicit
+        # half-up floor(x+0.5) rule shared by pipeline and oracle
+        # (banker's vs half-away would diverge here)
+        "value": np.asarray(draw_vals[:n], dtype="float64") / 16.0,
         "event_type": kinds[np.asarray(draw_types[:n]) % 3],
     })
 

@@ -173,6 +173,7 @@ def test_simhash_clusters_forced_distributed_path(ray_session,
     from pgstosrt_ray.pipelines import dedupe
     a = _to_df(dedupe.simhash_dedup_clusters(SF_DIR))
     monkeypatch.setattr(dedupe, "BROADCAST_PAIRS_LIMIT", -1)
+    monkeypatch.setattr(dedupe, "CC_BROADCAST_EDGES", -1)
     b = _to_df(dedupe.simhash_dedup_clusters(SF_DIR))
     pd.testing.assert_frame_equal(a, b)
 
