@@ -158,13 +158,17 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": b.astype("int64")})
 
 
-def _distinct_pairs(pair_ds):
+def _distinct_pairs(pair_ds, buckets: int):
     # candidate-pair count grows with the corpus => bucketed distinct,
-    # never a raw-key groupby (measured 53.8 s vs 0.6 s at 36k groups)
+    # never a raw-key groupby (measured 53.8 s vs 0.6 s at 36k groups).
+    # Bucket count = the DATA-SIZED band-group count the pairs came
+    # out of: pair volume scales with band-cell volume, so the dedup
+    # frames stay ~cell-sized at any corpus size.
     return bucketed_group_agg(
         pair_ds, ["doc_a", "doc_b"],
         lambda g: g.drop_duplicates(["doc_a", "doc_b"])
-        [["doc_a", "doc_b"]].reset_index(drop=True))
+        [["doc_a", "doc_b"]].reset_index(drop=True),
+        buckets=buckets)
 
 
 def candidate_ids(sigs, groups: int):
@@ -179,7 +183,8 @@ def candidate_ids(sigs, groups: int):
     # at the boundaries are the small, collision-bounded ones)
     return _materialize_nonempty(_distinct_pairs(
         buckets.groupby("grp").map_groups(
-            _bucket_pairs, batch_format="pandas")))
+            _bucket_pairs, batch_format="pandas"),
+        buckets=_groups(groups)))
 
 
 def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5,
@@ -392,7 +397,8 @@ def label_propagation(edges, ids, max_rounds: int = 25):
         bucketed_group_agg(
             edges, ["node"],
             lambda g: g.groupby("node", as_index=False)["nbr"].min()
-            .rename(columns={"nbr": "lbl"}))
+            .rename(columns={"nbr": "lbl"}),
+            est_bytes=n_edges * 16)
         .map_batches(seed_labels, batch_format="pyarrow"))
     converged = False
     prev_sum = labels.sum("lbl")
@@ -405,7 +411,8 @@ def label_propagation(edges, ids, max_rounds: int = 25):
             batch_format="pyarrow")
         merged = _materialize_nonempty(bucketed_group_agg(
             prop.union(labels), ["lnode"],
-            lambda g: g.groupby("lnode", as_index=False)["lbl"].min()))
+            lambda g: g.groupby("lnode", as_index=False)["lbl"].min(),
+            est_bytes=n_edges * 32))
         new_sum = merged.sum("lbl")
         labels = merged
         if new_sum == prev_sum:
@@ -459,6 +466,50 @@ def simhash_signatures(sf_dir: str):
                                           batch_size=256)
 
 
+def _explode_simhash_bands(t: pa.Table, groups: int) -> pa.Table:
+    """(doc_id, simhash, band0..3) -> salted (grp, band, key, doc_id,
+    simhash) band rows — module-level so the checkpointed simhash
+    pipeline (state/dedup_checkpoint) reuses the identical explode."""
+    n = t.num_rows
+    doc = np.repeat(t.column("doc_id").to_numpy(), 4)
+    sim = np.repeat(t.column("simhash").to_numpy(), 4)
+    band = np.tile(np.arange(4, dtype=np.int32), n)
+    key = np.empty(4 * n, dtype=np.int64)
+    for b in range(4):
+        key[b::4] = t.column(f"band{b}").to_numpy()
+    return pa.table({
+        "grp": pa.array(salt_bucket(band, key, groups), pa.int32()),
+        "band": pa.array(band, pa.int32()),
+        "key": pa.array(key, pa.int64()),
+        "doc_id": pa.array(doc, pa.int64()),
+        "simhash": pa.array(sim, pa.int64()),
+    })
+
+
+def _simhash_band_pairs(g: pd.DataFrame,
+                        max_hamming: int = 3) -> pd.DataFrame:
+    """Within-band candidate pairs with verified Hamming distance."""
+    out_a, out_b, out_d = [], [], []
+    for _, bucket in g.groupby(["band", "key"], sort=True):
+        bucket = bucket.sort_values("doc_id")
+        ids = bucket["doc_id"].to_numpy()
+        if ids.size < 2:
+            continue
+        sims = bucket["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        d = popcount64(sims[ia] ^ sims[ib])
+        keep = d <= max_hamming
+        out_a.append(ids[ia][keep])
+        out_b.append(ids[ib][keep])
+        out_d.append(d[keep])
+    a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
+    d = np.concatenate(out_d) if out_d else np.zeros(0, dtype=np.int64)
+    return pd.DataFrame({"doc_a": a.astype("int64"),
+                         "doc_b": b.astype("int64"),
+                         "hamming": d.astype("int64")})
+
+
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
                            groups: int = SHUFFLE_GROUPS):
     """SimHash banding: equal 16-bit band => candidate; verify hamming.
@@ -468,55 +519,21 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     sigs = simhash_signatures(sf_dir)
     # exploded band row = (doc i64, simhash i64, band i32, key i64)
     groups = _salted_groups(sf_dir, groups, "documents", 4, 32)
-
-    def explode(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        doc = np.repeat(t.column("doc_id").to_numpy(), 4)
-        sim = np.repeat(t.column("simhash").to_numpy(), 4)
-        band = np.tile(np.arange(4, dtype=np.int32), n)
-        key = np.empty(4 * n, dtype=np.int64)
-        for b in range(4):
-            key[b::4] = t.column(f"band{b}").to_numpy()
-        return pa.table({
-            "grp": pa.array(salt_bucket(band, key, _groups(groups)),
-                            pa.int32()),
-            "band": pa.array(band, pa.int32()),
-            "key": pa.array(key, pa.int64()),
-            "doc_id": pa.array(doc, pa.int64()),
-            "simhash": pa.array(sim, pa.int64()),
-        })
-
-    buckets = sigs.map_batches(explode, batch_format="pyarrow")
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_d = [], [], []
-        for _, bucket in g.groupby(["band", "key"], sort=True):
-            bucket = bucket.sort_values("doc_id")
-            ids = bucket["doc_id"].to_numpy()
-            if ids.size < 2:
-                continue
-            sims = bucket["simhash"].to_numpy().astype(np.uint64)
-            ia, ib = np.triu_indices(ids.size, k=1)
-            d = popcount64(sims[ia] ^ sims[ib])
-            keep = d <= max_hamming
-            out_a.append(ids[ia][keep])
-            out_b.append(ids[ib][keep])
-            out_d.append(d[keep])
-        a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
-        d = np.concatenate(out_d) if out_d else np.zeros(0, dtype=np.int64)
-        return pd.DataFrame({"doc_a": a.astype("int64"),
-                             "doc_b": b.astype("int64"),
-                             "hamming": d.astype("int64")})
-
+    buckets = sigs.map_batches(
+        functools.partial(_explode_simhash_bands, groups=_groups(groups)),
+        batch_format="pyarrow")
     pair_ds = buckets.groupby("grp").map_groups(
-        band_pairs, batch_format="pandas")
+        functools.partial(_simhash_band_pairs, max_hamming=max_hamming),
+        batch_format="pandas")
     # pair cardinality grows with the corpus => bucketed min, not a
-    # raw-key groupby (hamming is identical across bands, min = value)
+    # raw-key groupby (hamming is identical across bands, min = value);
+    # bucket count = the data-sized band-group count the pairs fell
+    # out of, so dedup frames stay cell-sized at any corpus size
     return bucketed_group_agg(
         pair_ds, ["doc_a", "doc_b"],
         lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
-        ["hamming"].min())
+        ["hamming"].min(),
+        buckets=_groups(groups))
 
 
 def _grams_of(t: pa.Table) -> pa.Table:
@@ -729,9 +746,9 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     # cell row carries the embedding: ~dim x 4 B + ids ~= 280 B
+    groups = _salted_groups(sf_dir, groups, "embeddings", tables, 280)
     stage = functools.partial(
-        _bucketize_batch, tables=tables, bits=bits,
-        groups=_salted_groups(sf_dir, groups, "embeddings", tables, 280))
+        _bucketize_batch, tables=tables, bits=bits, groups=groups)
     buckets = ds.map_batches(stage, batch_format="pyarrow",
                              batch_size=4096)
 
@@ -764,11 +781,13 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
     pair_ds = buckets.groupby("grp").map_groups(
         cell_pairs, batch_format="pandas")
     # one pair can collide in several tables => bucketed max over the
-    # corpus-cardinality pair key
+    # corpus-cardinality pair key; bucket count = the data-sized cell
+    # group count the pairs fell out of
     return bucketed_group_agg(
         pair_ds, ["doc_a", "doc_b"],
         lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
-        ["cosine"].max())
+        ["cosine"].max(),
+        buckets=_groups(groups))
 
 
 def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,

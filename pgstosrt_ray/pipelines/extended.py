@@ -41,7 +41,8 @@ def q_left_outer_join(sf_dir: str):
     counts = materialize_nonempty(bucketed_group_agg(
         _read(sf_dir, "orders", columns=["o_custkey"]), ["o_custkey"],
         lambda g: g.groupby("o_custkey", as_index=False)
-        .agg(n=("o_custkey", "count"))))
+        .agg(n=("o_custkey", "count")),
+        est_bytes=input_bytes(f"{sf_dir}/orders.parquet")))
     j = cust.join(counts, "left_outer", join_partitions(),
                   on=("c_custkey",), right_on=("o_custkey",))
 
@@ -381,7 +382,9 @@ def q_grouped_approx_quantiles(sf_dir: str):
         ds.map_batches(hist, batch_format="pyarrow"),
         ["event_type", "bucket"],
         lambda g: g.groupby(["event_type", "bucket"],
-                            as_index=False)["n"].sum())
+                            as_index=False)["n"].sum(),
+        domain_bound="cells = event types x log2-scale value buckets "
+                     "(~64 per type), not corpus rows")
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bucket")
@@ -503,7 +506,8 @@ def q_distinct_users_per_type(sf_dir: str):
         ["event_type", "user_id"],
         lambda g: g.drop_duplicates(["event_type", "user_id"])
         .groupby("event_type", as_index=False)
-        .agg(n_users=("user_id", "count")))
+        .agg(n_users=("user_id", "count")),
+        est_bytes=input_bytes(f"{sf_dir}/events.parquet"))
     return partial.groupby("event_type").aggregate(
         Sum("n_users", alias_name="n_users"))
 
@@ -795,11 +799,13 @@ def q_decontaminate(sf_dir: str, n: int = CONTAM_N):
             batch_format="pandas"))
     hits = materialize_nonempty(
         cand.join(bench_keys, "left_semi", join_partitions(), on=("g",)))
-    if hits.count() == 0:
+    n_hits = hits.count()   # materialized => metadata-free
+    if n_hits == 0:
         return probe_ids.map_batches(all_clean, batch_format="pyarrow")
     flagged = materialize_nonempty(
         bucketed_group_agg(hits.select_columns(["doc_id"]), ["doc_id"],
-                           lambda g: g.drop_duplicates("doc_id"))
+                           lambda g: g.drop_duplicates("doc_id"),
+                           est_bytes=n_hits * 8)
         .map_batches(
             lambda df: pa.table({
                 "hit_id": pa.array(df["doc_id"], pa.int64()),

@@ -307,7 +307,8 @@ def tree_fold_blobs(ds, col: str, merge_fn, fanin: int | None = None):
 
 
 def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None,
-                       est_bytes: int | None = None):
+                       est_bytes: int | None = None,
+                       domain_bound: str | None = None):
     """High-cardinality grouped aggregation via the salted-bucket
     pattern: tag ``_b = row_hash(key_cols) % B``, ONE groupby over B
     buckets, vectorized pandas aggregation per bucket.
@@ -326,7 +327,22 @@ def bucketed_group_agg(ds, key_cols, agg_fn, buckets: int | None = None,
     count scales with the cluster (shuffle_groups floor) AND with the
     data when the caller passes ``est_bytes`` (buckets_for) — each
     bucket arrives as one in-process frame, so callers whose grouped
-    rows grow with the corpus should size it."""
+    rows grow with the corpus must size it.
+
+    Every call must state its scale contract IN CODE (round-4 verdict
+    #3): pass ``buckets``/``est_bytes`` to size the shuffle from the
+    data, or ``domain_bound`` — a short sentence saying why the
+    grouped key domain is bounded (hour windows in the time span,
+    histogram cells of a bounded value domain, ...) and the
+    cluster-floor bucket count is safe at any corpus size. A bare
+    call raises, so the pattern can't be copied onto an unbounded key
+    by accident."""
+    if buckets is None and not est_bytes and domain_bound is None:
+        raise ValueError(
+            "bucketed_group_agg needs its scale contract: pass "
+            "buckets=/est_bytes= to size buckets from the data, or "
+            "domain_bound='why this key domain is bounded' to ride "
+            "the cluster floor deliberately")
     B = buckets or buckets_for(est_bytes)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:

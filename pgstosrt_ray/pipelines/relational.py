@@ -964,7 +964,9 @@ def q_grouped_median(sf_dir: str):
         ds.map_batches(hist, batch_format="pyarrow"),
         ["l_returnflag", "cents"],
         lambda g: g.groupby(["l_returnflag", "cents"],
-                            as_index=False)["n"].sum())
+                            as_index=False)["n"].sum(),
+        domain_bound="histogram cells = returnflags x distinct cents "
+                     "of the bounded price domain, not corpus rows")
 
     def walk(g):
         # per-group histogram walk runs IN the cluster (round 2 did

@@ -218,7 +218,11 @@ def q_window_distinct_users(sf_dir: str):
         out["n_users"] = out["n_users"].astype("int64")
         return out
 
-    return bucketed_group_agg(partials, ["window_start"], window_sum)
+    return bucketed_group_agg(
+        partials, ["window_start"], window_sum,
+        domain_bound="one partial row per (hour window, stage-1 "
+                     "bucket): hours in the corpus time span, not "
+                     "corpus rows")
 
 
 SQL_WINDOW_DISTINCT_USERS = (
@@ -383,7 +387,9 @@ def q_grouped_p90(sf_dir: str):
         ds.map_batches(hist, batch_format="pyarrow"),
         ["l_returnflag", "cents"],
         lambda g: g.groupby(["l_returnflag", "cents"],
-                            as_index=False)["n"].sum())
+                            as_index=False)["n"].sum(),
+        domain_bound="histogram cells = returnflags x distinct cents "
+                     "of the bounded price domain, not corpus rows")
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")

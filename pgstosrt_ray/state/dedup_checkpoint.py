@@ -27,12 +27,14 @@ are written atomically (temp + rename) AFTER the data file.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
 import tempfile
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -118,22 +120,24 @@ def _pid_of_ids(ids, parts: int):
         dtype=np.int32, count=len(ids))
 
 
-def checkpoint_signatures(sf_dir: str, out_dir: str, parts: int = 16,
-                          fail_after: int | None = None) -> dict:
-    """Stage 1: persist the signature table partition-by-partition,
-    skipping completed partitions at the read."""
+def _checkpoint_sig_stage(sf_dir: str, sig_dir: str, sig_batch_fn,
+                          parts: int, fail_after: int | None,
+                          stage_params: dict) -> dict:
+    """Generic stage-1 machinery: persist a per-doc signature table
+    partition-by-partition (sha1(doc_id) % parts), skipping completed
+    partitions AT THE READ. ``sig_batch_fn(pages_batch) -> Table`` must
+    emit a ``doc_id`` column; everything else (atomic data+manifest
+    writes, resume filter, parameter guard) is family-independent."""
     import pyarrow.compute as pc
 
-    from ..pipelines.dedupe import _minhash_sig_batch, _read_docs
+    from ..pipelines.dedupe import _read_docs
 
-    sig_dir = os.path.join(out_dir, "sigs")
-    _stage_manifest(sig_dir, {"parts": parts,
-                              "sig_schema_version": SIG_SCHEMA_VERSION})
+    _stage_manifest(sig_dir, {"parts": parts, **stage_params})
     done = completed_partitions(sig_dir)
     t0 = time.perf_counter()
 
     def sig_with_pid(batch: pa.Table) -> pa.Table:
-        t = _minhash_sig_batch(batch)
+        t = sig_batch_fn(batch)
         return t.append_column(
             "_pid", pa.array(_pid_of_ids(t.column("doc_id").to_pylist(),
                                          parts), pa.int32()))
@@ -186,17 +190,53 @@ def checkpoint_signatures(sf_dir: str, out_dir: str, parts: int = 16,
             "wall_time_s": round(time.perf_counter() - t0, 3)}
 
 
-def checkpoint_pairs(out_dir: str, groups: int = 32,
-                     fail_after: int | None = None) -> dict:
-    """Stage 2: candidate-pair edges per salted (band, key) shuffle
-    group, persisted group-by-group from the checkpointed signature
-    table; completed groups are filtered before the shuffle."""
-    import functools
+def checkpoint_signatures(sf_dir: str, out_dir: str, parts: int = 16,
+                          fail_after: int | None = None) -> dict:
+    """MinHash stage 1: persist the signature table partition-by-
+    partition, skipping completed partitions at the read."""
+    from ..pipelines.dedupe import _minhash_sig_batch
+    return _checkpoint_sig_stage(
+        sf_dir, os.path.join(out_dir, "sigs"), _minhash_sig_batch,
+        parts, fail_after,
+        {"sig_schema_version": SIG_SCHEMA_VERSION})
 
+
+def checkpoint_simhash_signatures(sf_dir: str, out_dir: str,
+                                  parts: int = 16,
+                                  fail_after: int | None = None) -> dict:
+    """SimHash stage 1: persist (doc_id, simhash, band0..3) with the
+    same partitioned atomic-manifest layout as MinHash."""
+    from ..pipelines import dedupe
+
+    def sig(batch: pa.Table) -> pa.Table:
+        hs = np.array(
+            [dedupe.simhash64(dedupe.word_ngram_hashes(t, n=1))
+             for t in batch.column("text").to_pylist()],
+            dtype=np.uint64)
+        cols = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+                "simhash": pa.array(hs.astype(np.int64), pa.int64())}
+        for b in range(4):
+            cols[f"band{b}"] = pa.array(
+                ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                .astype(np.int64), pa.int64())
+        return pa.table(cols, schema=dedupe.SIMHASH_SCHEMA)
+
+    return _checkpoint_sig_stage(
+        sf_dir, os.path.join(out_dir, "sigs"), sig, parts, fail_after,
+        {"family": "simhash",
+         "sig_schema_version": SIG_SCHEMA_VERSION})
+
+
+def _checkpoint_pair_stage(out_dir: str, explode_fn, pairs_fn,
+                           groups: int, fail_after: int | None,
+                           stage_params: dict) -> dict:
+    """Generic stage 2: candidate-pair edges per salted shuffle group,
+    persisted group-by-group from the checkpointed signature table;
+    completed groups are filtered before the shuffle.
+    ``explode_fn(sig_table) -> Table`` must emit a ``grp`` column;
+    ``pairs_fn(group_frame) -> DataFrame`` builds the group's edges."""
     import pyarrow.compute as pc
     import ray.data
-
-    from ..pipelines.dedupe import _bucket_pairs, _explode_minhash_bands
 
     sig_dir = os.path.join(out_dir, "sigs")
     pair_dir = os.path.join(out_dir, "pairs")
@@ -214,13 +254,12 @@ def checkpoint_pairs(out_dir: str, groups: int = 32,
             f"{sig_dir} ({have}/{want} partitions); run "
             f"checkpoint_signatures to completion first")
     _stage_manifest(pair_dir, {"groups": groups,
-                               "sig_parts": sig_stage["parts"]})
+                               "sig_parts": sig_stage["parts"],
+                               **stage_params})
     done = completed_partitions(pair_dir)
     t0 = time.perf_counter()
     sigs = ray.data.read_parquet(os.path.join(sig_dir))
-    buckets = sigs.map_batches(
-        functools.partial(_explode_minhash_bands, groups=groups),
-        batch_format="pyarrow")
+    buckets = sigs.map_batches(explode_fn, batch_format="pyarrow")
     if done:
         done_arr = pa.array(sorted(done), pa.int32())
         buckets = buckets.map_batches(
@@ -237,7 +276,7 @@ def checkpoint_pairs(out_dir: str, groups: int = 32,
         written = 0
         for grp in sorted(parts):
             g = pd.concat(parts[grp], ignore_index=True)
-            pairs = _bucket_pairs(g)
+            pairs = pairs_fn(g)
             _write_atomic(pair_dir, grp,
                           pa.Table.from_pandas(pairs, preserve_index=False),
                           {"stage": "pairs"})
@@ -250,7 +289,7 @@ def checkpoint_pairs(out_dir: str, groups: int = 32,
     def write_group(g) -> pa.Table:
         grp = int(g["grp"].iloc[0])
         t_start = time.perf_counter()
-        pairs = _bucket_pairs(g)
+        pairs = pairs_fn(g)
         n = len(pairs)
         _write_atomic(pair_dir, grp,
                       pa.Table.from_pandas(pairs, preserve_index=False), {
@@ -269,76 +308,170 @@ def checkpoint_pairs(out_dir: str, groups: int = 32,
             "wall_time_s": round(time.perf_counter() - t0, 3)}
 
 
-def finish_dedup_keep(sf_dir: str, out_dir: str,
-                      threshold: float = 0.5):
-    """Finish leg from persisted artifacts: distinct candidate ids ->
-    signature re-join + Jaccard estimate -> label propagation ->
-    surviving doc_ids. Returns a Dataset.
+def checkpoint_pairs(out_dir: str, groups: int = 32,
+                     fail_after: int | None = None) -> dict:
+    """MinHash stage 2: candidate-pair edges per salted (band, key)
+    shuffle group."""
+    from ..pipelines.dedupe import _bucket_pairs, _explode_minhash_bands
+    return _checkpoint_pair_stage(
+        out_dir,
+        functools.partial(_explode_minhash_bands, groups=groups),
+        _bucket_pairs, groups, fail_after, {})
 
-    The converged LABELS persist under ``out_dir/labels`` with the
-    same atomic-manifest pattern as the earlier stages, so a resumed
-    run skips the propagation rounds entirely (at 100 TB each round is
-    a join + bucketed min over the edge list — the expensive part of
-    the finish leg). Threshold is recorded in the stage manifest; a
-    different threshold fails loudly instead of serving stale labels."""
-    import pyarrow.compute as pc
+
+def checkpoint_simhash_pairs(out_dir: str, groups: int = 32,
+                             max_hamming: int = 3,
+                             fail_after: int | None = None) -> dict:
+    """SimHash stage 2: Hamming-verified candidate edges per salted
+    (band, key) group; max_hamming is part of the resume contract (a
+    different threshold would permanently mark groups done with the
+    wrong edge set)."""
+    from ..pipelines.dedupe import (_explode_simhash_bands,
+                                    _simhash_band_pairs)
+    return _checkpoint_pair_stage(
+        out_dir,
+        functools.partial(_explode_simhash_bands, groups=groups),
+        functools.partial(_simhash_band_pairs, max_hamming=max_hamming),
+        groups, fail_after, {"max_hamming": max_hamming})
+
+
+def _nonempty_pair_files(out_dir: str) -> list[str]:
+    pair_files = [
+        os.path.join(out_dir, "pairs", d, "data.parquet")
+        for d in sorted(os.listdir(os.path.join(out_dir, "pairs")))
+        if d.startswith("part=")]
+    return [p for p in pair_files
+            if pq.ParquetFile(p).metadata.num_rows]
+
+
+def _labels_cached(labels_dir: str, params: dict, build_fn):
+    """Converged cluster LABELS with the atomic-manifest pattern: a
+    resumed run reads them back instead of re-running the propagation
+    rounds (at 100 TB each round is a join + bucketed min over the
+    edge list — the expensive part of the finish leg). ``params`` are
+    recorded in the stage manifest; a mismatched resume (different
+    threshold / max_hamming) fails loudly instead of serving stale
+    labels. Labels persist DISTRIBUTED (write_parquet into a temp dir,
+    atomic rename, manifest last) — the label table is corpus-sized,
+    it must never collect on the driver."""
+    import shutil
+
     import ray.data
 
-    from ..pipelines import dedupe
-
-    labels_dir = os.path.join(out_dir, "labels")
     have_labels = (_read_stage(labels_dir) is not None
                    and completed_partitions(labels_dir))
+    _stage_manifest(labels_dir, params)
     if have_labels:
-        _stage_manifest(labels_dir, {"threshold": threshold})
-        labels = ray.data.read_parquet(os.path.join(labels_dir, "part=0"))
-    else:
-        sigs = ray.data.read_parquet(os.path.join(out_dir, "sigs"))
-        sigs = sigs.select_columns(["doc_id", "sig"]).materialize()
-        pair_files = [
-            os.path.join(out_dir, "pairs", d, "data.parquet")
-            for d in sorted(os.listdir(os.path.join(out_dir, "pairs")))
-            if d.startswith("part=")]
-        nonempty = [p for p in pair_files
-                    if pq.ParquetFile(p).metadata.num_rows]
-        ids = dedupe._read_docs(sf_dir).select_columns(["doc_id"])
-        if not nonempty:
-            labels = ids.map_batches(
-                lambda t: pa.table({"doc_id": t.column("doc_id"),
-                                    "cluster_id": t.column("doc_id")}),
-                batch_format="pyarrow")
-        else:
-            cand = dedupe._materialize_nonempty(
-                dedupe._distinct_pairs(ray.data.read_parquet(nonempty)))
-            verified = dedupe.estimate_pairs(cand, sigs, threshold)
-            edges = dedupe._materialize_nonempty(dedupe._edges_of(verified))
-            labels = dedupe.label_propagation(edges, ids)
-        # persist DISTRIBUTED (write_parquet into a temp dir, atomic
-        # rename, manifest last) — the label table is corpus-sized, it
-        # must never collect on the driver
-        import shutil
-        _stage_manifest(labels_dir, {"threshold": threshold})
-        data_dir = os.path.join(labels_dir, "part=0")
-        tmp_dir = data_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        labels = labels.materialize()
-        labels.write_parquet(tmp_dir)
-        if os.path.isdir(data_dir):
-            shutil.rmtree(data_dir)
-        os.replace(tmp_dir, data_dir)
-        mdir = os.path.join(labels_dir, "_manifest")
-        os.makedirs(mdir, exist_ok=True)
-        fd, tmp_m = tempfile.mkstemp(dir=mdir)
-        with os.fdopen(fd, "w") as f:
-            json.dump({"part_id": 0, "stage": "labels",
-                       "written_at": time.time()}, f)
-        os.replace(tmp_m, os.path.join(mdir, "0.json"))
+        return ray.data.read_parquet(os.path.join(labels_dir, "part=0"))
+    labels = build_fn().materialize()
+    data_dir = os.path.join(labels_dir, "part=0")
+    tmp_dir = data_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    labels.write_parquet(tmp_dir)
+    if os.path.isdir(data_dir):
+        shutil.rmtree(data_dir)
+    os.replace(tmp_dir, data_dir)
+    mdir = os.path.join(labels_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    fd, tmp_m = tempfile.mkstemp(dir=mdir)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"part_id": 0, "stage": "labels",
+                   "written_at": time.time()}, f)
+    os.replace(tmp_m, os.path.join(mdir, "0.json"))
+    return labels
+
+
+def _keepers_of(labels):
+    import pyarrow.compute as pc
 
     def keepers(t: pa.Table) -> pa.Table:
         keep = pc.equal(t.column("doc_id"), t.column("cluster_id"))
         return t.filter(keep).select(["doc_id"])
 
     return labels.map_batches(keepers, batch_format="pyarrow")
+
+
+def finish_dedup_keep(sf_dir: str, out_dir: str,
+                      threshold: float = 0.5):
+    """MinHash finish leg from persisted artifacts: distinct candidate
+    ids -> signature re-join + Jaccard estimate -> label propagation ->
+    surviving doc_ids. Returns a Dataset."""
+    import ray.data
+
+    from ..pipelines import dedupe
+
+    def build():
+        sigs = ray.data.read_parquet(os.path.join(out_dir, "sigs"))
+        sigs = sigs.select_columns(["doc_id", "sig"]).materialize()
+        nonempty = _nonempty_pair_files(out_dir)
+        ids = dedupe._read_docs(sf_dir).select_columns(["doc_id"])
+        if not nonempty:
+            return ids.map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                    "cluster_id": t.column("doc_id")}),
+                batch_format="pyarrow")
+        from ..pipelines.reduce import buckets_for
+        cand = dedupe._materialize_nonempty(dedupe._distinct_pairs(
+            ray.data.read_parquet(nonempty),
+            buckets=buckets_for(est_bytes=sum(
+                os.path.getsize(p) for p in nonempty))))
+        verified = dedupe.estimate_pairs(cand, sigs, threshold)
+        edges = dedupe._materialize_nonempty(dedupe._edges_of(verified))
+        return dedupe.label_propagation(edges, ids)
+
+    labels = _labels_cached(os.path.join(out_dir, "labels"),
+                            {"threshold": threshold}, build)
+    return _keepers_of(labels)
+
+
+def finish_simhash_clusters(sf_dir: str, out_dir: str,
+                            max_hamming: int = 3):
+    """SimHash finish leg from persisted artifacts: the pair files are
+    already Hamming-verified edges, so the leg is one bucketed
+    (doc_a, doc_b) dedup + label propagation. Returns the full
+    (doc_id, cluster_id) Dataset (mirrors dedupe.simhash_dedup_clusters)."""
+    import ray.data
+
+    from ..pipelines import dedupe
+
+    def build():
+        nonempty = _nonempty_pair_files(out_dir)
+        ids = dedupe._read_docs(sf_dir).select_columns(["doc_id"])
+        if not nonempty:
+            return ids.map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                    "cluster_id": t.column("doc_id")}),
+                batch_format="pyarrow")
+        from ..pipelines.reduce import buckets_for
+        pair_ds = ray.data.read_parquet(nonempty).map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]),
+            batch_format="pyarrow")
+        cand = dedupe._materialize_nonempty(dedupe._distinct_pairs(
+            pair_ds,
+            buckets=buckets_for(est_bytes=sum(
+                os.path.getsize(p) for p in nonempty))))
+        edges = dedupe._materialize_nonempty(dedupe._edges_of(cand))
+        return dedupe.label_propagation(edges, ids)
+
+    return _labels_cached(os.path.join(out_dir, "labels"),
+                          {"max_hamming": max_hamming}, build)
+
+
+def run_checkpointed_simhash(sf_dir: str, out_dir: str,
+                             max_hamming: int = 3, sig_parts: int = 16,
+                             pair_groups: int = 32,
+                             fail_after_sig_parts: int | None = None,
+                             fail_after_pair_groups: int | None = None):
+    """End-to-end resumable SimHash clustering: returns
+    ((doc_id, cluster_id) Dataset, run metrics). Re-running after a
+    crash skips completed signature partitions and pair groups."""
+    m1 = checkpoint_simhash_signatures(sf_dir, out_dir, parts=sig_parts,
+                                       fail_after=fail_after_sig_parts)
+    m2 = checkpoint_simhash_pairs(out_dir, groups=pair_groups,
+                                  max_hamming=max_hamming,
+                                  fail_after=fail_after_pair_groups)
+    labels = finish_simhash_clusters(sf_dir, out_dir, max_hamming)
+    return labels, {"signatures": m1, "pairs": m2}
 
 
 def run_checkpointed_dedup(sf_dir: str, out_dir: str,

@@ -156,3 +156,77 @@ def test_finish_leg_labels_persist(ray_session, tmp_path,
     # a different threshold must NOT serve the cached labels
     with pytest.raises(ValueError, match="parameter mismatch"):
         dc.finish_dedup_keep(SF_DIR, out, threshold=0.9)
+
+
+# --- simhash family (round-4 VERDICT #5: resume beyond minhash) -----------
+@pytest.fixture()
+def expected_simhash_clusters(ray_session):
+    import pyarrow as pa
+    from pgstosrt_ray.pipelines.dedupe import simhash_dedup_clusters
+    tabs = [t for t in ray.get(
+        simhash_dedup_clusters(SF_DIR).to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tabs)
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("cluster_id").to_pylist()))
+
+
+def _labels(ds) -> dict[int, int]:
+    import pyarrow as pa
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tabs)
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("cluster_id").to_pylist()))
+
+
+def test_simhash_sig_crash_then_resume(ray_session, tmp_path,
+                                       expected_simhash_clusters):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    out = str(tmp_path / "sim")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_simhash_signatures(SF_DIR, out, parts=8,
+                                         fail_after=3)
+    assert len(completed_partitions(os.path.join(out, "sigs"))) == 3
+    m = dc.checkpoint_simhash_signatures(SF_DIR, out, parts=8)
+    assert m["skipped"] == 3 and m["written"] == 5
+    dc.checkpoint_simhash_pairs(out, groups=16)
+    labels = _labels(dc.finish_simhash_clusters(SF_DIR, out))
+    assert labels == expected_simhash_clusters
+
+
+def test_simhash_pair_crash_then_resume(ray_session, tmp_path,
+                                        expected_simhash_clusters):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    out = str(tmp_path / "sim")
+    dc.checkpoint_simhash_signatures(SF_DIR, out, parts=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_simhash_pairs(out, groups=16, fail_after=4)
+    assert len(completed_partitions(os.path.join(out, "pairs"))) == 4
+    m = dc.checkpoint_simhash_pairs(out, groups=16)
+    assert m["skipped"] == 4
+    labels = _labels(dc.finish_simhash_clusters(SF_DIR, out))
+    assert labels == expected_simhash_clusters
+
+
+def test_simhash_full_run_and_label_persistence(
+        ray_session, tmp_path, expected_simhash_clusters, monkeypatch):
+    from pgstosrt_ray.pipelines import dedupe
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    out = str(tmp_path / "sim")
+    labels_ds, metrics = dc.run_checkpointed_simhash(SF_DIR, out)
+    assert metrics["signatures"]["written"] == 16
+    assert _labels(labels_ds) == expected_simhash_clusters
+
+    def boom(*a, **kw):
+        raise AssertionError("label_propagation re-ran on resume")
+
+    monkeypatch.setattr(dedupe, "label_propagation", boom)
+    again = _labels(dc.finish_simhash_clusters(SF_DIR, out))
+    assert again == expected_simhash_clusters
+    # a different hamming threshold must NOT serve the cached labels
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.finish_simhash_clusters(SF_DIR, out, max_hamming=1)
+    # nor may stage 2 resume with a different threshold
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.checkpoint_simhash_pairs(out, groups=16, max_hamming=1)
