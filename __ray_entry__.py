@@ -299,6 +299,7 @@ _GOLDEN_COLS = {
     "cms_token_counts": "token, est_n",
     "bm25_search": "doc_id, score",
     "unigram_logprob": "doc_id, n_tokens, nll_per_tok",
+    "perplexity_buckets": "doc_id, nll_per_tok, ppl_bucket",
     "ngram_jaccard_pairs": "doc_a, doc_b, jaccard3",
     "embedding_near_dup": "doc_a, doc_b, cosine",
     "ann_lsh": "vec_id, sim",

@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = "v13"  # v13: + unigram_logprob golden;
+GOLDEN_VERSION = "v14"  # v14: + perplexity_buckets golden;
+# v13: + unigram_logprob golden;
 #     v12: + media_thumbnail golden;
 #     v11: + bm25_search golden;
 #     v10: + ann_ivf_pq_rerank golden;
@@ -686,6 +687,28 @@ def golden_unigram_logprob(sf_dir: str) -> pa.Table:
                      "nll_per_tok": pa.array(rows_s, pa.float64())})
 
 
+def golden_perplexity_buckets(sf_dir: str) -> pa.Table:
+    """Independent head/middle/tail NLL split: golden unigram NLL ->
+    micro int (round(nll*1e6), clip 1) -> floor(256*log2(micro)) octave
+    sub-bucket -> ceil-rank 1/3 and 2/3 threshold BUCKETS over the
+    bucket histogram -> tag. Same published spec as
+    webops.q_perplexity_buckets, fresh single-threaded code."""
+    t = golden_unigram_logprob(sf_dir)
+    nll = np.asarray(t.column("nll_per_tok").to_pylist(), np.float64)
+    micro = np.maximum(np.round(nll * 1e6).astype(np.int64), 1)
+    b = np.floor(np.log2(micro.astype(np.float64)) * 256).astype(np.int64)
+    uniq, counts = np.unique(b, return_counts=True)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    b33 = int(uniq[np.searchsorted(cum, (total + 2) // 3)])
+    b66 = int(uniq[np.searchsorted(cum, (2 * total + 2) // 3)])
+    lab = ["head" if x <= b33 else ("middle" if x <= b66 else "tail")
+           for x in b]
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "nll_per_tok": t.column("nll_per_tok"),
+                     "ppl_bucket": pa.array(lab, pa.string())})
+
+
 # ----------------------------------------------- log-histogram quantiles
 def golden_approx_quantiles(sf_dir: str) -> pa.Table:
     """Independent re-computation of the log-histogram quantile sketch
@@ -921,6 +944,7 @@ GOLDEN_BUILDERS = {
     "cms_token_counts": (golden_cms_token_counts, "sf"),
     "bm25_search": (golden_bm25_search, "sf"),
     "unigram_logprob": (golden_unigram_logprob, "sf"),
+    "perplexity_buckets": (golden_perplexity_buckets, "sf"),
     "ngram_jaccard_pairs": (golden_ngram_jaccard_pairs, "sf"),
     "embedding_near_dup": (golden_embedding_near_dup, "sf"),
     "ann_lsh": (golden_ann_lsh, "sf"),

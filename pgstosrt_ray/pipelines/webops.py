@@ -924,6 +924,272 @@ def q_cms_token_counts(sf_dir: str):
                      "est_n": pa.array(est, pa.int64())})
 
 
+# --- inverse document frequency table ------------------------------------
+def q_idf_table(sf_dir: str):
+    """Per-token document frequency + BM25-style smoothed idf over the
+    corpus — the reusable statistic every retrieval / tf-idf / quality
+    stage needs. Scale shape: one doc is one row, so per-batch DISTINCT
+    tokens per doc are globally correct partials; (token, df) partial
+    counts reduce through the data-sized bucketed sum, then idf is a
+    map-only formula. Float parity with the SQL oracle: exact-int df
+    and n_docs, ONE division inside the log, round 6."""
+    from ..functions.text import TOKEN_RE
+    from .reduce import parquet_rows
+    ds = _read(sf_dir, "documents", columns=["text"])
+    n_docs = parquet_rows(f"{sf_dir}/documents.parquet")
+
+    def dfreq(df: pd.DataFrame) -> pd.DataFrame:
+        flat = [t for txt in df["text"] for t in set(TOKEN_RE.findall(txt))]
+        if not flat:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(),
+                             "df": vc.to_numpy().astype("int64")})
+
+    total = bucketed_group_agg(
+        ds.map_batches(dfreq, batch_format="pandas"), ["token"],
+        lambda g: g.groupby("token", as_index=False)["df"].sum(),
+        est_bytes=_table_bytes(sf_dir, "documents"))
+
+    def idf(t: pa.Table) -> pa.Table:
+        d = t.column("df").to_numpy().astype(np.float64)
+        v = np.round(np.log(1.0 + (np.float64(n_docs) - d + 0.5)
+                            / (d + 0.5)), 6)
+        return pa.table({"token": t.column("token"),
+                         "df": t.column("df").cast(pa.int64()),
+                         "idf": pa.array(v, pa.float64())})
+
+    return total.map_batches(idf, batch_format="pyarrow")
+
+
+SQL_IDF_TABLE = """
+WITH d AS (
+  SELECT unnest(list_distinct(regexp_extract_all(text, '\\S+')))
+    AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS df FROM d GROUP BY token),
+n AS (SELECT COUNT(*) AS v FROM documents)
+SELECT token, df,
+  ROUND(LN(1 + (CAST(n.v AS DOUBLE) - df + 0.5) / (df + 0.5)), 6) AS idf
+FROM c CROSS JOIN n
+"""
+
+
+# --- bigram PMI (collocation mining) --------------------------------------
+# pointwise mutual information of adjacent token pairs: the classic
+# collocation / multi-word-expression signal a tokenizer-training or
+# phrase-mining pass computes over the whole corpus.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def _bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.text import TOKEN_RE
+    w1: list = []
+    w2: list = []
+    for txt in df["text"]:
+        ts = TOKEN_RE.findall(txt)
+        if len(ts) >= 2:
+            w1.extend(ts[:-1])
+            w2.extend(ts[1:])
+    if not w1:
+        return pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                             "w2": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    out = (pd.DataFrame({"w1": w1, "w2": w2})
+           .groupby(["w1", "w2"], as_index=False).size())
+    out.columns = ["w1", "w2", "n"]
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _token_occ_counts(df: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.text import TOKEN_RE
+    toks = df["text"].str.findall(TOKEN_RE).explode().dropna()
+    if toks.empty:
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    vc = toks.value_counts()
+    return pd.DataFrame({"token": vc.index.to_numpy(),
+                         "n": vc.to_numpy().astype("int64")})
+
+
+def q_bigram_pmi(sf_dir: str, k: int = PMI_TOP_K,
+                 min_count: int = PMI_MIN_COUNT):
+    """Top-k adjacent-bigram PMI with a min-count support filter.
+    Scale shape: bigram and unigram occurrence counts reduce through
+    data-sized bucketed sums (vocabulary-cardinality keys); unigram
+    counts attach to the filtered candidates via the counted broadcast
+    gate (UNIGRAM_VOCAB_LIMIT) with a two-join fallback kept as the
+    scale path (materialize boundary between the joins — one
+    hash-shuffle join per streaming DAG); the driver only ever sees
+    the final k rows (agg_topk). Determinism: pmi rounds to 6 dp and
+    the SQL oracle mirrors the exact float expression shape
+    ((n_ab*T1)*T1)/((T2*n_a)*n_b) — exact-int counts, one division."""
+    import ray
+
+    from .reduce import agg_topk, join_partitions
+    ds = _read(sf_dir, "documents", columns=["text"])
+    docs_bytes = _table_bytes(sf_dir, "documents")
+    big = materialize_nonempty(bucketed_group_agg(
+        ds.map_batches(_bigram_counts, batch_format="pandas"),
+        ["w1", "w2"],
+        lambda g: g.groupby(["w1", "w2"], as_index=False)["n"].sum(),
+        est_bytes=docs_bytes))
+    uni = materialize_nonempty(bucketed_group_agg(
+        ds.map_batches(_token_occ_counts, batch_format="pandas"),
+        ["token"],
+        lambda g: g.groupby("token", as_index=False)["n"].sum(),
+        est_bytes=docs_bytes))
+    t1 = np.float64(int(uni.sum("n")))
+    t2 = np.float64(int(big.sum("n")))   # totals BEFORE the support cut
+
+    cand = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"),
+                                            pa.scalar(min_count))),
+        batch_format="pyarrow")
+
+    def pmi_of(n_ab, n_a, n_b):
+        return np.round(np.log(
+            ((n_ab.astype(np.float64) * t1) * t1)
+            / ((t2 * n_a.astype(np.float64)) * n_b.astype(np.float64))),
+            6)
+
+    vocab_n = uni.count()
+    if vocab_n <= UNIGRAM_VOCAB_LIMIT:
+        tab = pa.concat_tables(
+            [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows])
+        keys = tab.column("token").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], tab.column("n").to_numpy()[order]))
+
+        def score(t: pa.Table) -> pa.Table:
+            kv, nv = ray.get(ref)
+            a = t.column("w1").to_numpy(zero_copy_only=False)
+            b = t.column("w2").to_numpy(zero_copy_only=False)
+            n_ab = t.column("n").to_numpy()
+            v = pmi_of(n_ab, nv[np.searchsorted(kv, a)],
+                       nv[np.searchsorted(kv, b)])
+            return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                             "n": t.column("n").cast(pa.int64()),
+                             "pmi": pa.array(v, pa.float64())})
+
+        scored = cand.map_batches(score, batch_format="pyarrow")
+    else:
+        # scale path: unigram counts attach by two hash joins with a
+        # materialize boundary between them (ray 2.49: one
+        # hash-shuffle join per streaming DAG)
+        u1 = uni.map_batches(
+            lambda t: t.rename_columns(["u1", "c1"]),
+            batch_format="pyarrow")
+        j1 = materialize_nonempty(cand.join(
+            u1, "inner", join_partitions(), on=("w1",),
+            right_on=("u1",)))
+        u2 = uni.map_batches(
+            lambda t: t.rename_columns(["u2", "c2"]),
+            batch_format="pyarrow")
+        j2 = materialize_nonempty(j1.join(
+            u2, "inner", join_partitions(), on=("w2",),
+            right_on=("u2",)))
+
+        def score_j(t: pa.Table) -> pa.Table:
+            v = pmi_of(t.column("n").to_numpy(),
+                       t.column("c1").to_numpy(),
+                       t.column("c2").to_numpy())
+            return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                             "n": t.column("n").cast(pa.int64()),
+                             "pmi": pa.array(v, pa.float64())})
+
+        scored = j2.map_batches(score_j, batch_format="pyarrow")
+    top = agg_topk(scored, ["pmi", "w1", "w2"], [False, True, True], k)
+    return top.select(["w1", "w2", "n", "pmi"])
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+t1 AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:])) AS z FROM toks),
+bc AS (SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS n FROM big
+       GROUP BY 1, 2),
+t2 AS (SELECT COUNT(*) AS v FROM big)
+SELECT bc.w1, bc.w2, bc.n,
+  ROUND(LN(((CAST(bc.n AS DOUBLE) * t1.v) * t1.v)
+           / ((CAST(t2.v AS DOUBLE) * ua.n) * ub.n)), 6) AS pmi
+FROM bc
+CROSS JOIN t1 CROSS JOIN t2
+JOIN ucnt ua ON bc.w1 = ua.w
+JOIN ucnt ub ON bc.w2 = ub.w
+WHERE bc.n >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {PMI_TOP_K}
+"""
+
+
+# --- CCNet-style perplexity buckets ---------------------------------------
+# head/middle/tail split of the corpus by unigram-LM NLL — the CCNet
+# curation primitive. Thresholds come from the SAME mergeable
+# log-histogram sketch as approx_quantiles (bounded cells at any
+# corpus size: the exact-rank alternative would shuffle one row per
+# DISTINCT nll value, i.e. corpus cardinality, into one walk frame).
+# Tercile ranks are INTEGER-exact: ceil(total/3), ceil(2*total/3).
+
+
+PPL_SKETCH_BITS = 256   # sub-buckets per octave: NLL-per-token spans
+#                         few octaves, so the quantile sketch needs
+#                         finer cells than the price sketch's 16;
+#                         total cells stay bounded (<= 256 * ~24)
+
+
+def _nll_sketch_bucket(nll: np.ndarray) -> np.ndarray:
+    """round-6 NLL -> exact micro-units int -> floor(256*log2) octave
+    sub-bucket; zero NLL clips to micro=1."""
+    micro = np.maximum(np.round(nll * 1e6).astype(np.int64), 1)
+    return np.floor(np.log2(micro.astype(np.float64))
+                    * PPL_SKETCH_BITS).astype(np.int64)
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """(doc_id, nll_per_tok, ppl_bucket head|middle|tail). Composes
+    q_unigram_logprob (per-doc NLL, corpus-fit add-one unigram model)
+    with the log-histogram quantile sketch: per-batch bucket partials
+    -> one small groupby (bounded cells) -> driver walk yields the two
+    threshold BUCKET ids -> map-only tagging. Deterministic given the
+    deterministic sketch; value-checked against the independent
+    golden.golden_perplexity_buckets."""
+    from ray.data.aggregate import Sum
+    scored = materialize_nonempty(q_unigram_logprob(sf_dir))
+
+    def hist(t: pa.Table) -> pa.Table:
+        b, n = np.unique(
+            _nll_sketch_bucket(t.column("nll_per_tok").to_numpy()),
+            return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    df = (scored.map_batches(hist, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("bucket"))   # bounded: octave cells
+    cum = df["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    bks = df["bucket"].to_numpy()
+    b33 = int(bks[np.searchsorted(cum, -(-total // 3))])
+    b66 = int(bks[np.searchsorted(cum, -(-2 * total // 3))])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = _nll_sketch_bucket(t.column("nll_per_tok").to_numpy())
+        lab = np.where(b <= b33, "head",
+                       np.where(b <= b66, "middle", "tail"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "nll_per_tok": t.column("nll_per_tok"),
+                         "ppl_bucket": pa.array(lab.tolist(),
+                                                pa.string())})
+
+    return scored.map_batches(tag, batch_format="pyarrow")
+
+
 QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "source_stats": q_source_stats,
@@ -940,6 +1206,9 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "unigram_logprob": q_unigram_logprob,
     "cms_token_counts": q_cms_token_counts,
+    "idf_table": q_idf_table,
+    "bigram_pmi": q_bigram_pmi,
+    "perplexity_buckets": q_perplexity_buckets,
     # url_section_stats runs over the page corpus; wired through
     # __ray_entry__ (corpus resolution) like media_features
 }
@@ -957,6 +1226,8 @@ ORACLE_SQL = {
     "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
     "rolling_sum": SQL_ROLLING_SUM,
     "window_funnel": SQL_WINDOW_FUNNEL,
-    # cms_token_counts / bm25_search: golden oracles wired in
-    # __ray_entry__.py
+    "idf_table": SQL_IDF_TABLE,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    # cms_token_counts / bm25_search / perplexity_buckets: golden
+    # oracles wired in __ray_entry__.py
 }

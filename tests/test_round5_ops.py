@@ -1,0 +1,114 @@
+"""Round-5 operators: idf_table, bigram_pmi (collocation PMI),
+perplexity_buckets (CCNet-style head/middle/tail split)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_df(res) -> pd.DataFrame:
+    if hasattr(res, "to_arrow_refs"):
+        import pyarrow as pa
+        tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs).to_pandas()
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind in "fc":
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_idf_table_matches_duckdb(ray_session):
+    from pgstosrt_ray.pipelines import webops
+    ours = _norm(_to_df(webops.q_idf_table(SF_DIR)))
+    theirs = _norm(_oracle(webops.SQL_IDF_TABLE))
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
+    assert len(ours) > 0
+
+
+def test_bigram_pmi_matches_duckdb(ray_session):
+    from pgstosrt_ray.pipelines import webops
+    ours = _norm(_to_df(webops.q_bigram_pmi(SF_DIR)))
+    theirs = _norm(_oracle(webops.SQL_BIGRAM_PMI))
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
+    assert len(ours) > 0
+
+
+def test_bigram_pmi_forced_join_path_equals_broadcast(ray_session,
+                                                      monkeypatch):
+    """The two-join scale path (unigram counts too big to broadcast)
+    must produce the same top-k as the broadcast gate."""
+    from pgstosrt_ray.pipelines import webops
+    via_broadcast = _norm(_to_df(webops.q_bigram_pmi(SF_DIR)))
+    monkeypatch.setattr(webops, "UNIGRAM_VOCAB_LIMIT", -1)
+    via_joins = _norm(_to_df(webops.q_bigram_pmi(SF_DIR)))
+    pd.testing.assert_frame_equal(via_broadcast, via_joins)
+
+
+def test_perplexity_buckets_matches_golden(ray_session):
+    """sf0.001's synthetic texts put 63% of the NLL mass in ONE sketch
+    cell spanning both tercile ranks — 'middle' is then legitimately
+    empty (any tie-respecting tercile rule classifies the atom whole),
+    so this pins golden equality + label monotonicity only; the
+    three-way split is exercised on the spread corpus below."""
+    from pgstosrt_ray.golden import golden_perplexity_buckets
+    from pgstosrt_ray.pipelines import webops
+    by = _to_df(webops.q_perplexity_buckets(SF_DIR))
+    want = _norm(golden_perplexity_buckets(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(_norm(by), want, check_dtype=False)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    s = by.sort_values("nll_per_tok")["ppl_bucket"].map(order).to_numpy()
+    assert (np.diff(s) >= 0).all()          # labels monotone in NLL
+    assert (by["ppl_bucket"] == "head").any()
+    assert (by["ppl_bucket"] == "tail").any()
+
+
+def test_perplexity_buckets_three_way_split_on_spread_corpus(
+        ray_session, tmp_path):
+    """A corpus with genuinely spread NLL (repetitive docs vs unique-
+    token docs) splits into all three classes of roughly equal size."""
+    from pgstosrt_ray.golden import golden_perplexity_buckets
+    from pgstosrt_ray.pipelines import webops
+    rows = []
+    for i in range(90):
+        if i % 3 == 0:            # fluent: high-frequency tokens
+            text = "the quick fox " * 20
+        elif i % 3 == 1:          # mixed
+            text = "the quick fox " * 10 + f"rare{i} odd{i} " * 5
+        else:                     # surprising: unique tokens
+            text = " ".join(f"tok{i}_{j}" for j in range(30))
+        rows.append({"doc_id": i, "text": text})
+    d = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet")
+    by = _to_df(webops.q_perplexity_buckets(d))
+    want = _norm(golden_perplexity_buckets(d).to_pandas())
+    pd.testing.assert_frame_equal(_norm(by), want, check_dtype=False)
+    counts = by["ppl_bucket"].value_counts()
+    assert set(counts.index) == {"head", "middle", "tail"}
+    assert counts.min() == 30 and counts.max() == 30
+    order = {"head": 0, "middle": 1, "tail": 2}
+    s = by.sort_values("nll_per_tok")["ppl_bucket"].map(order).to_numpy()
+    assert (np.diff(s) >= 0).all()
+
+
+def test_perplexity_bucket_rank_rule_integer_exact():
+    """ceil(total/3) must be integer-exact on both sides (a float 1/3
+    rank rule would diverge at multiples of 3)."""
+    for total in (1, 2, 3, 4, 6, 9, 10, 500, 3 * 10 ** 12):
+        assert -(-total // 3) == (total + 2) // 3
+        assert -(-2 * total // 3) == (2 * total + 2) // 3
