@@ -143,6 +143,13 @@ def run_bench() -> dict:
         similarity.brute_force_topk(SF_DIR)))
     queries["ann_ivf_pq"] = timed(lambda: consume(
         similarity.ivf_pq_topk(SF_DIR)))
+    # round-5 additions: per-query keys are additive — the selection
+    # methodology above is frozen (BASELINE.md round-5 addendum)
+    from pgstosrt_ray.pipelines import webops
+    queries["bigram_pmi"] = timed(lambda: consume(
+        webops.q_bigram_pmi(SF_DIR)))
+    queries["idf_table"] = timed(lambda: consume(
+        webops.q_idf_table(SF_DIR)))
 
     n_docs = n_docs_holder["n"]
     result = {

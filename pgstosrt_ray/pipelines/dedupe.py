@@ -699,7 +699,10 @@ class EmbeddingBucketStage:
         self.planes = _PLANES_CACHE[key]
         self.tables, self.bits, self.groups = tables, bits, groups
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def bucket_matrix(self, t: pa.Table) -> np.ndarray:
+        """(n, tables) int64 bucket ids per vector — shared by the
+        exploding __call__ and the one-row-per-vec checkpointed
+        signature stage."""
         emb = t.column("embedding")
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in emb.to_pylist()])
@@ -707,9 +710,13 @@ class EmbeddingBucketStage:
             m = np.zeros((0, self.planes.shape[1]))
         signs = (m @ self.planes.T) > 0              # (n, tables*bits)
         weights = (1 << np.arange(self.bits, dtype=np.int64))
-        bucket = np.stack(
+        return np.stack(
             [signs[:, tb * self.bits:(tb + 1) * self.bits] @ weights
              for tb in range(self.tables)], axis=1)  # (n, tables)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        bucket = self.bucket_matrix(t)
         n = t.num_rows
         tab = np.tile(np.arange(self.tables, dtype=np.int32), n)
         key = bucket.reshape(-1).astype(np.int64)
@@ -728,6 +735,37 @@ def _bucketize_batch(t: pa.Table, tables: int, bits: int,
     # module-level task entry: EmbeddingBucketStage() is free after the
     # first call in a process thanks to the plane cache
     return EmbeddingBucketStage(tables=tables, bits=bits, groups=groups)(t)
+
+
+def _embedding_cell_pairs(g: pd.DataFrame,
+                          threshold: float) -> pd.DataFrame:
+    """Within-(table, bucket)-cell cosine pairs >= threshold —
+    module-level so the checkpointed embedding pipeline
+    (state/dedup_checkpoint) reuses the identical kernel."""
+    out_a, out_b, out_c = [], [], []
+    for _, cell in g.groupby(["tbl", "bucket"], sort=True):
+        cell = cell.sort_values("vec_id")
+        ids = cell["vec_id"].to_numpy()
+        if ids.size < 2:
+            continue
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in cell["embedding"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        # round to 6 decimals BEFORE thresholding: the reported
+        # cosine is then bit-stable across cell shapes / BLAS
+        # call patterns (and golden-oracle comparable)
+        sims = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        keep = sims[ia, ib] >= threshold
+        out_a.append(ids[ia][keep])
+        out_b.append(ids[ib][keep])
+        out_c.append(sims[ia, ib][keep])
+    a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
+    c = np.concatenate(out_c) if out_c else np.zeros(0, dtype=np.float64)
+    return pd.DataFrame({"doc_a": a.astype("int64"),
+                         "doc_b": b.astype("int64"),
+                         "cosine": c.astype("float64")})
 
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
@@ -752,34 +790,9 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
     buckets = ds.map_batches(stage, batch_format="pyarrow",
                              batch_size=4096)
 
-    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_c = [], [], []
-        for _, cell in g.groupby(["tbl", "bucket"], sort=True):
-            cell = cell.sort_values("vec_id")
-            ids = cell["vec_id"].to_numpy()
-            if ids.size < 2:
-                continue
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in cell["embedding"]])
-            m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-            # round to 6 decimals BEFORE thresholding: the reported
-            # cosine is then bit-stable across cell shapes / BLAS
-            # call patterns (and golden-oracle comparable)
-            sims = np.round(m @ m.T, 6)
-            ia, ib = np.triu_indices(ids.size, k=1)
-            keep = sims[ia, ib] >= threshold
-            out_a.append(ids[ia][keep])
-            out_b.append(ids[ib][keep])
-            out_c.append(sims[ia, ib][keep])
-        a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
-        c = np.concatenate(out_c) if out_c else np.zeros(0, dtype=np.float64)
-        return pd.DataFrame({"doc_a": a.astype("int64"),
-                             "doc_b": b.astype("int64"),
-                             "cosine": c.astype("float64")})
-
     pair_ds = buckets.groupby("grp").map_groups(
-        cell_pairs, batch_format="pandas")
+        functools.partial(_embedding_cell_pairs, threshold=threshold),
+        batch_format="pandas")
     # one pair can collide in several tables => bucketed max over the
     # corpus-cardinality pair key; bucket count = the data-sized cell
     # group count the pairs fell out of

@@ -122,12 +122,14 @@ def _pid_of_ids(ids, parts: int):
 
 def _checkpoint_sig_stage(sf_dir: str, sig_dir: str, sig_batch_fn,
                           parts: int, fail_after: int | None,
-                          stage_params: dict) -> dict:
+                          stage_params: dict, read_fn=None) -> dict:
     """Generic stage-1 machinery: persist a per-doc signature table
     partition-by-partition (sha1(doc_id) % parts), skipping completed
-    partitions AT THE READ. ``sig_batch_fn(pages_batch) -> Table`` must
-    emit a ``doc_id`` column; everything else (atomic data+manifest
-    writes, resume filter, parameter guard) is family-independent."""
+    partitions AT THE READ. ``sig_batch_fn(source_batch) -> Table``
+    must emit a ``doc_id`` column; ``read_fn(sf_dir)`` supplies the
+    source Dataset (documents by default). Everything else (atomic
+    data+manifest writes, resume filter, parameter guard) is
+    family-independent."""
     import pyarrow.compute as pc
 
     from ..pipelines.dedupe import _read_docs
@@ -142,7 +144,7 @@ def _checkpoint_sig_stage(sf_dir: str, sig_dir: str, sig_batch_fn,
             "_pid", pa.array(_pid_of_ids(t.column("doc_id").to_pylist(),
                                          parts), pa.int32()))
 
-    ds = _read_docs(sf_dir)
+    ds = (read_fn or _read_docs)(sf_dir)
     if done:
         done_list = sorted(done)
 
@@ -389,6 +391,122 @@ def _keepers_of(labels):
         return t.filter(keep).select(["doc_id"])
 
     return labels.map_batches(keepers, batch_format="pyarrow")
+
+
+def _emb_tables() -> int:
+    from ..pipelines.dedupe import EMB_TABLES
+    return EMB_TABLES
+
+
+def _read_embeddings_as_docs(sf_dir: str):
+    """embeddings table with vec_id presented as doc_id, so the
+    generic stage machinery (sha1(doc_id) partitioning, resume
+    filter) applies unchanged."""
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        lambda t: t.rename_columns(["doc_id", "embedding"]),
+        batch_format="pyarrow")
+
+
+def checkpoint_embedding_signatures(sf_dir: str, out_dir: str,
+                                    parts: int = 16,
+                                    fail_after: int | None = None
+                                    ) -> dict:
+    """Embedding-LSH stage 1: persist ONE row per vector —
+    (doc_id, embedding, b0..b5 hyperplane buckets) — instead of the
+    pipeline's 6x-exploded band rows (6x less checkpoint storage; the
+    explode is recomputed cheaply at stage 2)."""
+    from ..pipelines import dedupe
+
+    def sig(batch: pa.Table) -> pa.Table:
+        stage = dedupe.EmbeddingBucketStage(groups=1)
+        bucket = stage.bucket_matrix(batch)
+        cols = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+                "embedding": batch.column("embedding")}
+        for tb in range(stage.tables):
+            cols[f"b{tb}"] = pa.array(bucket[:, tb], pa.int64())
+        return pa.table(cols)
+
+    return _checkpoint_sig_stage(
+        sf_dir, os.path.join(out_dir, "sigs"), sig, parts, fail_after,
+        {"family": "embedding", "tables": _emb_tables(),
+         "sig_schema_version": SIG_SCHEMA_VERSION},
+        read_fn=_read_embeddings_as_docs)
+
+
+def checkpoint_embedding_pairs(out_dir: str, groups: int = 32,
+                               threshold: float = 0.35,
+                               fail_after: int | None = None) -> dict:
+    """Embedding-LSH stage 2: cosine-verified pairs per salted
+    (table, bucket) cell group from the persisted signatures;
+    threshold is part of the resume contract."""
+    from ..pipelines import dedupe
+
+    n_tables = _emb_tables()
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tab = np.tile(np.arange(n_tables, dtype=np.int32), n)
+        key = np.empty(n_tables * n, dtype=np.int64)
+        for tb in range(n_tables):
+            key[tb::n_tables] = t.column(f"b{tb}").to_numpy()
+        take = pa.array(np.repeat(np.arange(n), n_tables))
+        return pa.table({
+            "grp": pa.array(dedupe.salt_bucket(tab, key, groups),
+                            pa.int32()),
+            "tbl": pa.array(tab, pa.int32()),
+            "bucket": pa.array(key, pa.int64()),
+            "vec_id": t.column("doc_id").take(take),
+            "embedding": t.column("embedding").combine_chunks()
+            .take(take),
+        })
+
+    import functools as ft
+    return _checkpoint_pair_stage(
+        out_dir, explode,
+        ft.partial(dedupe._embedding_cell_pairs, threshold=threshold),
+        groups, fail_after, {"threshold": threshold})
+
+
+def finish_embedding_pairs(out_dir: str):
+    """Finish leg: the persisted cell pairs dedup to one (doc_a,
+    doc_b, max cosine) row per pair (a pair can collide in several
+    tables). Cheap relative to stage 2; rebuilt each run."""
+    import ray.data
+
+    from ..pipelines.dedupe import bucketed_group_agg
+    from ..pipelines.reduce import buckets_for
+    nonempty = _nonempty_pair_files(out_dir)
+    if not nonempty:
+        return ray.data.from_arrow(pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}))
+    return bucketed_group_agg(
+        ray.data.read_parquet(nonempty), ["doc_a", "doc_b"],
+        lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
+        ["cosine"].max(),
+        buckets=buckets_for(est_bytes=sum(
+            os.path.getsize(p) for p in nonempty)))
+
+
+def run_checkpointed_embedding_near_dup(
+        sf_dir: str, out_dir: str, threshold: float = 0.35,
+        sig_parts: int = 16, pair_groups: int = 32,
+        fail_after_sig_parts: int | None = None,
+        fail_after_pair_groups: int | None = None):
+    """End-to-end resumable embedding near-dup: returns ((doc_a,
+    doc_b, cosine) Dataset, run metrics)."""
+    m1 = checkpoint_embedding_signatures(
+        sf_dir, out_dir, parts=sig_parts,
+        fail_after=fail_after_sig_parts)
+    m2 = checkpoint_embedding_pairs(
+        out_dir, groups=pair_groups, threshold=threshold,
+        fail_after=fail_after_pair_groups)
+    return finish_embedding_pairs(out_dir), {"signatures": m1,
+                                             "pairs": m2}
 
 
 def finish_dedup_keep(sf_dir: str, out_dir: str,

@@ -230,3 +230,65 @@ def test_simhash_full_run_and_label_persistence(
     # nor may stage 2 resume with a different threshold
     with pytest.raises(ValueError, match="parameter mismatch"):
         dc.checkpoint_simhash_pairs(out, groups=16, max_hamming=1)
+
+
+# --- embedding-LSH family (round-5 extension of the same machinery) -------
+def _pair_set(ds) -> set:
+    import pyarrow as pa
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return set()
+    t = pa.concat_tables(tabs)
+    return set(zip(t.column("doc_a").to_pylist(),
+                   t.column("doc_b").to_pylist(),
+                   (round(c, 9) for c in t.column("cosine").to_pylist())))
+
+
+@pytest.fixture()
+def expected_embedding_pairs(ray_session):
+    from pgstosrt_ray.pipelines.dedupe import embedding_near_dup_pairs
+    return _pair_set(embedding_near_dup_pairs(SF_DIR))
+
+
+def test_embedding_sig_crash_then_resume(ray_session, tmp_path,
+                                         expected_embedding_pairs):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    out = str(tmp_path / "emb")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_embedding_signatures(SF_DIR, out, parts=8,
+                                           fail_after=3)
+    assert len(completed_partitions(os.path.join(out, "sigs"))) == 3
+    m = dc.checkpoint_embedding_signatures(SF_DIR, out, parts=8)
+    assert m["skipped"] == 3 and m["written"] == 5
+    dc.checkpoint_embedding_pairs(out, groups=16)
+    assert _pair_set(dc.finish_embedding_pairs(out)) == \
+        expected_embedding_pairs
+
+
+def test_embedding_pair_crash_then_resume(ray_session, tmp_path,
+                                          expected_embedding_pairs):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    out = str(tmp_path / "emb")
+    dc.checkpoint_embedding_signatures(SF_DIR, out, parts=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.checkpoint_embedding_pairs(out, groups=16, fail_after=4)
+    assert len(completed_partitions(os.path.join(out, "pairs"))) == 4
+    m = dc.checkpoint_embedding_pairs(out, groups=16)
+    assert m["skipped"] == 4
+    assert _pair_set(dc.finish_embedding_pairs(out)) == \
+        expected_embedding_pairs
+    # a different cosine threshold must not resume onto these groups
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.checkpoint_embedding_pairs(out, groups=16, threshold=0.9)
+
+
+def test_embedding_full_run_matches_pipeline(ray_session, tmp_path,
+                                             expected_embedding_pairs):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    pairs, metrics = dc.run_checkpointed_embedding_near_dup(
+        SF_DIR, str(tmp_path / "emb"))
+    assert metrics["signatures"]["written"] == 16
+    assert _pair_set(pairs) == expected_embedding_pairs
+    assert len(expected_embedding_pairs) > 0

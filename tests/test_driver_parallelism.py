@@ -24,10 +24,12 @@ SF = "/root/testdata/sf0.001"
 expect_rows = {"exact_dedup_keep": 500, "window_fill": 1000,
                "sessionize": None, "minhash_pairs": None,
                "decontaminate": None, "tfidf_top_term": 500,
-               "kmeans_balanced_sample": None}
+               "kmeans_balanced_sample": None, "bigram_pmi": None,
+               "perplexity_buckets": 500}
 for name in ["exact_dedup_keep", "window_fill", "sessionize",
              "minhash_pairs", "decontaminate", "tfidf_top_term",
-             "kmeans_balanced_sample"]:
+             "kmeans_balanced_sample", "bigram_pmi",
+             "perplexity_buckets"]:
     r = qs[name](SF)
     import ray.data
     if isinstance(r, ray.data.Dataset):
@@ -50,5 +52,6 @@ def test_queries_at_driver_parallelism():
     assert res.returncode == 0, (res.stdout[-1000:], res.stderr[-2000:])
     for name in ["exact_dedup_keep", "window_fill", "sessionize",
                  "minhash_pairs", "decontaminate", "tfidf_top_term",
-                 "kmeans_balanced_sample"]:
+                 "kmeans_balanced_sample", "bigram_pmi",
+                 "perplexity_buckets"]:
         assert f"{name} ok" in res.stdout
