@@ -960,7 +960,14 @@ def q_idf_table(sf_dir: str):
                          "df": t.column("df").cast(pa.int64()),
                          "idf": pa.array(v, pa.float64())})
 
-    return total.map_batches(idf, batch_format="pyarrow")
+    # materialize_nonempty: EMPTY pandas blocks from the bucketed agg
+    # pass through the pyarrow map unconverted (ray 2.49) and break
+    # to_arrow_refs consumers — scrub the driver-facing tail
+    return materialize_nonempty(
+        total.map_batches(idf, batch_format="pyarrow"),
+        fallback_schema=pa.schema([("token", pa.string()),
+                                   ("df", pa.int64()),
+                                   ("idf", pa.float64())]))
 
 
 SQL_IDF_TABLE = """
@@ -1041,8 +1048,17 @@ def q_bigram_pmi(sf_dir: str, k: int = PMI_TOP_K,
         ["token"],
         lambda g: g.groupby("token", as_index=False)["n"].sum(),
         est_bytes=docs_bytes))
-    t1 = np.float64(int(uni.sum("n")))
-    t2 = np.float64(int(big.sum("n")))   # totals BEFORE the support cut
+    t1_raw = uni.sum("n")
+    t2_raw = big.sum("n")   # totals BEFORE the support cut
+    if not t1_raw or not t2_raw:
+        # degenerate corpus (no tokens / no adjacent pairs): typed
+        # empty result instead of a None-total crash
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    t1 = np.float64(int(t1_raw))
+    t2 = np.float64(int(t2_raw))
 
     cand = big.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n"),

@@ -14,6 +14,8 @@ def _to_df(res) -> pd.DataFrame:
     if hasattr(res, "to_arrow_refs"):
         import pyarrow as pa
         tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return pd.DataFrame({n: [] for n in res.schema().names})
         return pa.concat_tables(tabs).to_pandas()
     return res.to_pandas() if hasattr(res, "to_pandas") else res
 
@@ -104,6 +106,63 @@ def test_perplexity_buckets_three_way_split_on_spread_corpus(
     order = {"head": 0, "middle": 1, "tail": 2}
     s = by.sort_values("nll_per_tok")["ppl_bucket"].map(order).to_numpy()
     assert (np.diff(s) >= 0).all()
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:                                   # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _VOCAB = np.array(["alpha", "beta", "gamma", "delta", "eps",
+                       "zeta"], dtype=object)
+
+    def _docs_frame(tok_ids):
+        # split one id stream into ragged docs of up to 8 tokens
+        texts, cur = [], []
+        for t in tok_ids:
+            if t < 0:
+                texts.append(" ".join(cur))
+                cur = []
+            else:
+                cur.append(_VOCAB[t % len(_VOCAB)])
+        texts.append(" ".join(cur))
+        return pd.DataFrame({"doc_id": np.arange(len(texts),
+                                                 dtype="int64"),
+                             "text": texts})
+
+    docs_strategy = st.builds(
+        _docs_frame,
+        st.lists(st.integers(min_value=-1, max_value=40), min_size=1,
+                 max_size=120))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(df=docs_strategy)
+    def test_idf_and_pmi_match_duckdb_on_random_frames(
+            ray_session, tmp_path_factory, df):
+        """Generative cross-engine conformance: the LN float parity of
+        idf_table / bigram_pmi must hold on arbitrary count tables,
+        not just the fixture corpus (round-4 style conformance)."""
+        from pgstosrt_ray.pipelines import webops
+        d = str(tmp_path_factory.mktemp("r5docs"))
+        df.to_parquet(f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.register("documents", df)
+        ours = _norm(_to_df(webops.q_idf_table(d)))
+        theirs = _norm(con.execute(webops.SQL_IDF_TABLE).df())
+        pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
+        # tiny vocab + short docs: lower the support cut so pairs
+        # survive on small generated frames
+        ours_p = _norm(_to_df(webops.q_bigram_pmi(d, min_count=1)))
+        theirs_p = _norm(con.execute(
+            webops.SQL_BIGRAM_PMI.replace(
+                f"bc.n >= {webops.PMI_MIN_COUNT}", "bc.n >= 1")).df())
+        pd.testing.assert_frame_equal(ours_p, theirs_p,
+                                      check_dtype=False)
 
 
 def test_perplexity_bucket_rank_rule_integer_exact():
