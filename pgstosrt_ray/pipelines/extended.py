@@ -596,39 +596,50 @@ SQL_SEMI_JOIN_BLOOM = ("SELECT c_custkey, c_name FROM customer "
 
 
 # --- end-to-end training-data prep (composition) -------------------------
+def prep_stage1(df: pd.DataFrame, B: int) -> pa.Table:
+    """normalize -> quality gate -> md5 fingerprint, tagged with the
+    dedup bucket fp[:8] % B. Module-level so the checkpointed variant
+    (state/dedup_checkpoint.run_checkpointed_prep_corpus) reuses it.
+    The keeper set is invariant in B: every fingerprint lands in
+    exactly one bucket for any B."""
+    from ..functions.text import md5_fingerprint
+    nt = (df["text"].str.lower()
+          .str.replace(r"\s+", " ", regex=True).str.strip())
+    n = nt.str.len()
+    n_alpha = nt.str.count(r"[A-Za-z]")
+    keep = (n >= 50) & (n <= 20000) & (2 * n_alpha > n)
+    nt, ids = nt[keep], df["doc_id"][keep]
+    fps = md5_fingerprint(nt)
+    b = np.fromiter((int(f[:8], 16) % B for f in fps),
+                    dtype=np.int32, count=len(fps))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fp": pa.array(fps, pa.string()),
+                     "_b": pa.array(b, pa.int32())})
+
+
+def prep_keep_first(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one dedup bucket: keep min doc_id per fingerprint and
+    assign the deterministic train/val/test split."""
+    from ..functions.text import split_of_ids
+    g = (g.sort_values("doc_id").drop_duplicates("fp", keep="first"))
+    return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                         "split": split_of_ids(g["doc_id"].to_numpy())})
+
+
 def q_prep_corpus(sf_dir: str):
     """The whole data-prep chain as ONE streaming pipeline:
     normalize -> quality gate -> exact dedup (keep min doc_id per
     normalized text) -> deterministic train/val/test split. One
     shuffle total (the dedup bucket groupby); everything else is
     narrow maps. Output (doc_id, split) of the surviving corpus."""
-    from ..functions.text import md5_fingerprint, split_of_ids
+    import functools
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # ids+fp rows only enter the shuffle => row-count-based sizing
     B = buckets_for(48 * parquet_rows(f"{sf_dir}/documents.parquet"))
-
-    def stage1(df: pd.DataFrame) -> pa.Table:
-        nt = (df["text"].str.lower()
-              .str.replace(r"\s+", " ", regex=True).str.strip())
-        n = nt.str.len()
-        n_alpha = nt.str.count(r"[A-Za-z]")
-        keep = (n >= 50) & (n <= 20000) & (2 * n_alpha > n)
-        nt, ids = nt[keep], df["doc_id"][keep]
-        fps = md5_fingerprint(nt)
-        b = np.fromiter((int(f[:8], 16) % B for f in fps),
-                        dtype=np.int32, count=len(fps))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "fp": pa.array(fps, pa.string()),
-                         "_b": pa.array(b, pa.int32())})
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values("doc_id").drop_duplicates("fp", keep="first"))
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                             "split": split_of_ids(
-                                 g["doc_id"].to_numpy())})
-
-    return (ds.map_batches(stage1, batch_format="pandas")
-            .groupby("_b").map_groups(keep_first, batch_format="pandas"))
+    return (ds.map_batches(functools.partial(prep_stage1, B=B),
+                           batch_format="pandas")
+            .groupby("_b").map_groups(prep_keep_first,
+                                      batch_format="pandas"))
 
 
 SQL_PREP_CORPUS = """

@@ -509,6 +509,89 @@ def run_checkpointed_embedding_near_dup(
                                              "pairs": m2}
 
 
+def run_checkpointed_prep_corpus(sf_dir: str, out_dir: str,
+                                 buckets: int = 32,
+                                 fail_after: int | None = None):
+    """Resumable prep_corpus composition (normalize -> quality gate ->
+    exact dedup -> split; pipelines/extended.q_prep_corpus): the
+    checkpoint unit is the DEDUP BUCKET fp[:8] % buckets — each bucket
+    is independently complete (every fingerprint lands in exactly one
+    bucket, so its keeper set never depends on other buckets). On
+    resume, completed buckets are filtered out BEFORE the shuffle;
+    the narrow normalize/gate scan recomputes (it is what derives the
+    bucket id), exactly like the pair stages recompute their explode.
+    Returns ((doc_id, split) Dataset, metrics)."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..pipelines.extended import prep_keep_first, prep_stage1
+
+    pdir = os.path.join(out_dir, "prep")
+    _stage_manifest(pdir, {"buckets": buckets})
+    done = completed_partitions(pdir)
+    t0 = time.perf_counter()
+    from ..pipelines.dedupe import _read_docs
+    tagged = _read_docs(sf_dir).map_batches(
+        functools.partial(prep_stage1, B=buckets),
+        batch_format="pandas")
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+        tagged = tagged.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t.column("_b"),
+                                                  value_set=done_arr))),
+            batch_format="pyarrow")
+
+    if fail_after is not None:
+        import pandas as pd
+        parts: dict[int, list] = {}
+        for batch in tagged.iter_batches(batch_format="pandas"):
+            for b, sub in batch.groupby("_b"):
+                parts.setdefault(int(b), []).append(sub)
+        written = 0
+        for b in sorted(parts):
+            g = pd.concat(parts[b], ignore_index=True)
+            out = prep_keep_first(g)
+            _write_atomic(pdir, b,
+                          pa.Table.from_pandas(out, preserve_index=False),
+                          {"stage": "prep_corpus"})
+            written += 1
+            if written >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {written} prep buckets")
+        metrics = {"written": written, "skipped": len(done)}
+    else:
+        def write_group(g) -> "pd.DataFrame":
+            import pandas as pd
+            b = int(g["_b"].iloc[0])
+            t_start = time.perf_counter()
+            out = prep_keep_first(g)
+            _write_atomic(pdir, b,
+                          pa.Table.from_pandas(out, preserve_index=False),
+                          {"stage": "prep_corpus", "n_input_rows": len(g),
+                           "wall_time_s":
+                           round(time.perf_counter() - t_start, 4)})
+            return pd.DataFrame({"_b": [b], "n": [len(out)]})
+
+        n = tagged.groupby("_b").map_groups(
+            write_group, batch_format="pandas").count()
+        metrics = {"written": int(n), "skipped": len(done),
+                   "wall_time_s": round(time.perf_counter() - t0, 3)}
+    # NOTE: buckets with NO surviving rows still write data+manifest
+    # (possibly empty tables), so resume knows they are done
+    part_files = [os.path.join(pdir, d, "data.parquet")
+                  for d in sorted(os.listdir(pdir))
+                  if d.startswith("part=")]
+    nonempty = [p for p in part_files
+                if pq.ParquetFile(p).metadata.num_rows]
+    if not nonempty:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "split": pa.array([], pa.string())})
+        return ray.data.from_arrow(empty), metrics
+    return ray.data.read_parquet(nonempty), metrics
+
+
 def finish_dedup_keep(sf_dir: str, out_dir: str,
                       threshold: float = 0.5):
     """MinHash finish leg from persisted artifacts: distinct candidate

@@ -292,3 +292,42 @@ def test_embedding_full_run_matches_pipeline(ray_session, tmp_path,
     assert metrics["signatures"]["written"] == 16
     assert _pair_set(pairs) == expected_embedding_pairs
     assert len(expected_embedding_pairs) > 0
+
+
+# --- prep_corpus composition (round-5: the last uncovered family) ---------
+def _splits(ds) -> dict[int, str]:
+    import pyarrow as pa
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return {}
+    t = pa.concat_tables(tabs)
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("split").to_pylist()))
+
+
+@pytest.fixture()
+def expected_prep(ray_session):
+    from pgstosrt_ray.pipelines.extended import q_prep_corpus
+    return _splits(q_prep_corpus(SF_DIR))
+
+
+def test_prep_corpus_crash_then_resume(ray_session, tmp_path,
+                                       expected_prep):
+    from pgstosrt_ray.state import dedup_checkpoint as dc
+    from pgstosrt_ray.state.checkpoint import completed_partitions
+    out = str(tmp_path / "prep")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dc.run_checkpointed_prep_corpus(SF_DIR, out, buckets=16,
+                                        fail_after=5)
+    assert len(completed_partitions(os.path.join(out, "prep"))) == 5
+    res, m = dc.run_checkpointed_prep_corpus(SF_DIR, out, buckets=16)
+    assert m["skipped"] == 5
+    assert _splits(res) == expected_prep
+    assert len(expected_prep) > 0
+    # rerun is a no-op (all buckets already done)
+    res2, m2 = dc.run_checkpointed_prep_corpus(SF_DIR, out, buckets=16)
+    assert m2["written"] == 0
+    assert _splits(res2) == expected_prep
+    # a different bucket count would remap fp -> bucket: fail loudly
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dc.run_checkpointed_prep_corpus(SF_DIR, out, buckets=8)
