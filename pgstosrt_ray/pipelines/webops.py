@@ -990,35 +990,36 @@ PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 
 
-def _bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+def _bigram_and_token_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """ONE text scan emits both count families in one keyed frame:
+    bigram rows (w1, w2, n) and unigram rows (w1=token, w2=None, n) —
+    tokens match \\S+ so None can never collide with a real w2. Both
+    then reduce through a SINGLE bucketed sum keyed on (w1, w2)
+    (dropna=False) instead of two scans + two shuffles."""
     from ..functions.text import TOKEN_RE
     w1: list = []
     w2: list = []
+    toks: list = []
     for txt in df["text"]:
         ts = TOKEN_RE.findall(txt)
+        toks.extend(ts)
         if len(ts) >= 2:
             w1.extend(ts[:-1])
             w2.extend(ts[1:])
-    if not w1:
+    if not toks:
         return pd.DataFrame({"w1": pd.Series([], dtype="object"),
                              "w2": pd.Series([], dtype="object"),
                              "n": pd.Series([], dtype="int64")})
-    out = (pd.DataFrame({"w1": w1, "w2": w2})
-           .groupby(["w1", "w2"], as_index=False).size())
-    out.columns = ["w1", "w2", "n"]
+    big = (pd.DataFrame({"w1": w1, "w2": w2})
+           .groupby(["w1", "w2"], as_index=False).size()
+           if w1 else pd.DataFrame({"w1": [], "w2": [], "size": []}))
+    big.columns = ["w1", "w2", "n"]
+    vc = pd.Series(toks).value_counts()
+    uni = pd.DataFrame({"w1": vc.index.to_numpy(),
+                        "w2": None, "n": vc.to_numpy()})
+    out = pd.concat([big, uni], ignore_index=True)
     out["n"] = out["n"].astype("int64")
     return out
-
-
-def _token_occ_counts(df: pd.DataFrame) -> pd.DataFrame:
-    from ..functions.text import TOKEN_RE
-    toks = df["text"].str.findall(TOKEN_RE).explode().dropna()
-    if toks.empty:
-        return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                             "n": pd.Series([], dtype="int64")})
-    vc = toks.value_counts()
-    return pd.DataFrame({"token": vc.index.to_numpy(),
-                         "n": vc.to_numpy().astype("int64")})
 
 
 def q_bigram_pmi(sf_dir: str, k: int = PMI_TOP_K,
@@ -1038,16 +1039,21 @@ def q_bigram_pmi(sf_dir: str, k: int = PMI_TOP_K,
     from .reduce import agg_topk, join_partitions
     ds = _read(sf_dir, "documents", columns=["text"])
     docs_bytes = _table_bytes(sf_dir, "documents")
-    big = materialize_nonempty(bucketed_group_agg(
-        ds.map_batches(_bigram_counts, batch_format="pandas"),
+    # one scan, ONE bucketed shuffle for BOTH count families (unigram
+    # rows ride with w2=None); split by w2 nullness afterwards
+    counts = materialize_nonempty(bucketed_group_agg(
+        ds.map_batches(_bigram_and_token_counts, batch_format="pandas"),
         ["w1", "w2"],
-        lambda g: g.groupby(["w1", "w2"], as_index=False)["n"].sum(),
+        lambda g: g.groupby(["w1", "w2"], as_index=False,
+                            dropna=False)["n"].sum(),
         est_bytes=docs_bytes))
-    uni = materialize_nonempty(bucketed_group_agg(
-        ds.map_batches(_token_occ_counts, batch_format="pandas"),
-        ["token"],
-        lambda g: g.groupby("token", as_index=False)["n"].sum(),
-        est_bytes=docs_bytes))
+    big = materialize_nonempty(counts.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("w2"))),
+        batch_format="pyarrow"))
+    uni = materialize_nonempty(counts.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("w2")))
+        .select(["w1", "n"]).rename_columns(["token", "n"]),
+        batch_format="pyarrow"))
     t1_raw = uni.sum("n")
     t2_raw = big.sum("n")   # totals BEFORE the support cut
     if not t1_raw or not t2_raw:
