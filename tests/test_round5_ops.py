@@ -165,6 +165,26 @@ if _HAVE_HYP:
                                       check_dtype=False)
 
 
+def test_round5_ops_are_input_order_independent(ray_session,
+                                                tmp_path_factory):
+    """Same corpus, permuted row order and different file layout =>
+    identical results (the distributed-determinism contract every
+    round-5 op claims: bucketed sums, integer-exact ranks, seeded
+    fits)."""
+    import pyarrow.parquet as pq
+    from pgstosrt_ray.pipelines import webops
+    src = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    d = str(tmp_path_factory.mktemp("r5perm"))
+    perm = src.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    perm.to_parquet(f"{d}/documents.parquet")
+    for q in (webops.q_idf_table, webops.q_bigram_pmi,
+              webops.q_perplexity_buckets):
+        a = _norm(_to_df(q(SF_DIR)))
+        b = _norm(_to_df(q(d)))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_perplexity_bucket_rank_rule_integer_exact():
     """ceil(total/3) must be integer-exact on both sides (a float 1/3
     rank rule would diverge at multiples of 3)."""

@@ -64,6 +64,10 @@ def main() -> None:
         "dup_rate_by_source": webops.q_dup_rate_by_source,
         "window_funnel": webops.q_window_funnel,
         "ann_ivf_pq": similarity.ivf_pq_topk,
+        # round-5 newcomers under the same discipline
+        "idf_table": webops.q_idf_table,
+        "bigram_pmi": webops.q_bigram_pmi,
+        "perplexity_buckets": webops.q_perplexity_buckets,
     }
     dst = build_4x()
     out = {}
